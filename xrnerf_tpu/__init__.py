@@ -1,0 +1,34 @@
+"""xrnerf_tpu — a TPU-native (JAX/XLA/Pallas) NeRF framework.
+
+Covers the method zoo of openxrlab/xrnerf (vanilla NeRF, Mip-NeRF,
+Instant-NGP, KiloNeRF, BungeeNeRF, NeuralBody, AniNeRF, GNR) rebuilt
+TPU-first: pure-functional models, static shapes, Pallas kernels for the
+hot ops, GSPMD sharding for scale-out.
+"""
+
+__version__ = "0.1.0"
+
+from . import registry  # noqa: F401
+from .config import Config, load_config  # noqa: F401
+from .registry import (  # noqa: F401
+    DATASETS,
+    EMBEDDERS,
+    FIELDS,
+    HOOKS,
+    NETWORKS,
+    PIPELINES,
+    RENDERS,
+    SAMPLERS,
+    build_dataset,
+    build_network,
+)
+
+
+def _register_all():
+    """Import modules for registry side effects."""
+    from .datasets import multiscale, scene  # noqa: F401
+    from .models.networks import mipnerf, nerf  # noqa: F401
+    from .core import hooks  # noqa: F401
+
+
+_register_all()

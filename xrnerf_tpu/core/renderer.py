@@ -1,0 +1,78 @@
+"""Chunked full-image rendering for eval/test — host loop around one jit.
+
+Replaces the reference's ``batchify_forward``
+(``/root/reference/xrnerf/models/networks/nerf.py:50-69``): rays are padded
+to a static chunk size so XLA compiles exactly one program regardless of
+image resolution, and chunks stream through the device back-to-back.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+# jit wrappers cached per apply_fn so repeated evals don't retrace.
+# Contract: callers pass a *stable* function object (e.g. a method bound
+# once at trainer construction), not a per-call lambda.
+_JIT_CACHE: Dict[int, Callable] = {}
+
+
+def _get_jitted(apply_fn: Callable) -> Callable:
+    key = id(apply_fn)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(apply_fn)
+    return _JIT_CACHE[key]
+
+
+def render_rays_chunked(
+    apply_fn: Callable,
+    params,
+    rays: Dict[str, np.ndarray],
+    chunk: int = 8192,
+    rng: Optional[jax.Array] = None,
+    keys: tuple = ("rgb", "disp", "acc"),
+) -> Dict[str, np.ndarray]:
+    """Run ``apply_fn(params, chunk_batch, rng)`` over [R, ...] rays.
+
+    ``apply_fn`` must be jittable with train=False semantics baked in.
+    Returns host numpy arrays of leading dim R.
+    """
+    n = next(iter(rays.values())).shape[0]
+    n_pad = (-n) % chunk
+    padded = {
+        k: np.concatenate([v, np.repeat(v[-1:], n_pad, axis=0)], axis=0)
+        if n_pad
+        else v
+        for k, v in rays.items()
+        if k != "target"
+    }
+    jitted = _get_jitted(apply_fn)
+    outs: Dict[str, list] = {k: [] for k in keys}
+    total = n + n_pad
+    for start in range(0, total, chunk):
+        cb = {k: jax.numpy.asarray(v[start : start + chunk]) for k, v in padded.items()}
+        ret = jitted(params, cb, rng)
+        for k in keys:
+            if k in ret:
+                outs[k].append(np.asarray(ret[k]))
+    result = {k: np.concatenate(v, axis=0)[:n] for k, v in outs.items() if v}
+    return result
+
+
+def render_image(
+    apply_fn: Callable,
+    params,
+    rays: Dict[str, np.ndarray],
+    H: int,
+    W: int,
+    chunk: int = 8192,
+    rng: Optional[jax.Array] = None,
+    keys: tuple = ("rgb", "disp", "acc"),
+) -> Dict[str, np.ndarray]:
+    flat = render_rays_chunked(apply_fn, params, rays, chunk, rng, keys)
+    out = {}
+    for k, v in flat.items():
+        out[k] = v.reshape(H, W, *v.shape[1:])
+    return out
