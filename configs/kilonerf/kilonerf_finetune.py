@@ -1,0 +1,47 @@
+# KiloNeRF phase-3 finetune (parity: the reference's three-phase pipeline,
+# configs/kilonerf/* + train.sh:19-30). Phase 1 (pretrain) uses
+# configs/nerf/nerf_blender.py; phase 2 (distill) kilonerf_distill.py; the
+# occupancy grid comes from tools/kilonerf_build_occupancy.py.
+
+max_iters = 150000
+eval_interval = 25000
+ckpt_interval = 25000
+log_interval = 100
+eval_chunk = 8192
+work_dir = "./work_dirs/kilonerf/#DATANAME#"
+
+model = dict(
+    type="KiloNerfNetwork",
+    resolution=(16, 16, 16),
+    domain_min=(-0.7, -0.7, -0.7),
+    domain_max=(0.7, 0.7, 0.7),
+    hidden=32,
+    n_hidden_layers=2,
+    multires=10,
+    multires_dirs=4,
+    n_samples=384,
+    capacity_factor=2.0,
+    white_bkgd=True,
+    view_dep_reg=1e-6,
+    occupancy_path="./work_dirs/kilonerf/#DATANAME#/occupancy.npy",
+)
+
+data = dict(
+    type="KiloNerfDataset",
+    datadir="data/nerf_synthetic/#DATANAME#",
+    dataset_type="blender",
+    white_bkgd=True,
+    N_rand=1024,
+    batching=False,
+    near=2.0,
+    far=6.0,
+    global_domain_min=(-0.7, -0.7, -0.7),
+    global_domain_max=(0.7, 0.7, 0.7),
+)
+
+optimizer = dict(type="adam", lr=1e-3, lr_decay_steps=500000, lr_decay_rate=0.1)
+
+hooks = [
+    dict(type="ValidateHook", save_img=True, max_images=2),
+    dict(type="ElapsedTimeHook", n_images=3),
+]

@@ -1,0 +1,163 @@
+"""KiloNeRF tests: network assignment, MoE dispatch, multi-MLP locality,
+occupancy build, distill fit, finetune render."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xrnerf_tpu.models.fields.kilonerf_field import (
+    MultiNetworkMLP,
+    assign_networks,
+    moe_dispatch,
+)
+from xrnerf_tpu.models.networks.kilonerf import (
+    KiloNerfNetwork,
+    StudentNerfNetwork,
+    build_occupancy_grid,
+)
+
+
+def test_assign_networks():
+    dmin = jnp.asarray([-1.0, -1.0, -1.0])
+    dmax = jnp.asarray([1.0, 1.0, 1.0])
+    pts = jnp.asarray(
+        [[-1.0, -1.0, -1.0], [0.99, 0.99, 0.99], [0.0, 0.0, 0.0], [2.0, 0.0, 0.0]]
+    )
+    idx, local = assign_networks(pts, dmin, dmax, (2, 2, 2))
+    assert int(idx[0]) == 0
+    assert int(idx[1]) == 7
+    assert int(idx[3]) == -1  # out of domain
+    # local coords in [-1, 1]
+    assert float(jnp.abs(local[:3]).max()) <= 1.0 + 1e-5
+    np.testing.assert_allclose(np.asarray(local[0]), [-1, -1, -1], atol=1e-6)
+
+
+def test_moe_dispatch_capacity():
+    idx = jnp.asarray([0, 0, 0, 1, 1, -1, 2, 0])
+    dest, keep, order = moe_dispatch(idx, n_nets=3, capacity=2)
+    k = np.asarray(keep)
+    d = np.asarray(dest)
+    o = np.asarray(order)
+    # invalid point dropped; net 0 has 4 points, only 2 kept
+    kept_nets = np.asarray(idx)[o][k]
+    assert (kept_nets == 0).sum() == 2
+    assert (kept_nets == 1).sum() == 2
+    assert (kept_nets == 2).sum() == 1
+    # destinations within each net's slots and unique
+    assert len(np.unique(d[k])) == k.sum()
+    assert np.all(d[k] // 2 == kept_nets)
+
+
+def test_multinetwork_is_spatially_local():
+    """Changing one network's weights must only affect its own points."""
+    mlp = MultiNetworkMLP(n_nets=8, hidden=8, multires=2, multires_dirs=1,
+                          capacity_factor=8.0)
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-1, 1, (32, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.randn(32, 3).astype(np.float32))
+    net_idx = jnp.asarray(rng.randint(0, 8, (32,)))
+    params = mlp.init(jax.random.PRNGKey(0), pts, dirs, net_idx)["params"]
+    rgb0, sigma0 = mlp.apply({"params": params}, pts, dirs, net_idx)
+    # perturb only network 3's weights
+    p2 = jax.tree_util.tree_map(lambda x: x, params)
+    p2 = {**p2, "hidden_0_w": params["hidden_0_w"].at[3].add(1.0)}
+    rgb1, sigma1 = mlp.apply({"params": p2}, pts, dirs, net_idx)
+    mask3 = np.asarray(net_idx) == 3
+    changed = np.any(np.asarray(rgb0 != rgb1), axis=-1) | np.asarray(sigma0 != sigma1)
+    assert changed[mask3].any()
+    assert not changed[~mask3].any()
+    # empty points (idx -1) give zero density after relu(-1e3)
+    idx_empty = jnp.full((32,), -1)
+    _, sig_e = mlp.apply({"params": params}, pts, dirs, idx_empty)
+    assert np.all(np.asarray(jax.nn.relu(sig_e)) == 0)
+
+
+def test_student_distill_fits_analytic_teacher():
+    from xrnerf_tpu.datasets.kilonerf import KiloNerfDistillDataset
+
+    def teacher(pts, dirs):
+        # smooth analytic field: rgb from position, density from a blob
+        rgb = 0.5 + 0.5 * jnp.tanh(pts)
+        sigma = 5.0 * jnp.exp(-4.0 * jnp.sum(pts**2, -1))
+        return rgb, sigma
+
+    ds = KiloNerfDistillDataset(
+        resolution=(2, 2, 2), points_per_net=32, teacher_fn=teacher
+    )
+    net = StudentNerfNetwork(
+        resolution=(2, 2, 2), hidden=16, multires=4, multires_dirs=0, capacity_factor=8.0
+    )
+    b0 = ds.train_batch(0)
+    params = net.init(jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in b0.items()})[
+        "params"
+    ]
+
+    import optax
+
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, batch):
+        def lf(p):
+            out = net.apply({"params": p}, batch)
+            return net.loss(out, batch)[0]
+
+        loss, g = jax.value_and_grad(lf)(p)
+        up, o = tx.update(g, o)
+        return optax.apply_updates(p, up), o, loss
+
+    losses = []
+    for i in range(60):
+        batch = {k: jnp.asarray(v) for k, v in ds.train_batch(i).items()}
+        params, opt, loss = step(params, opt, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_build_occupancy_grid():
+    def density(pts):
+        return jnp.where(jnp.linalg.norm(pts, axis=-1) < 0.5, 100.0, 0.0)
+
+    occ = build_occupancy_grid(
+        density, (-1, -1, -1), (1, 1, 1), res=(8, 8, 8), subsamples=2, threshold=10.0
+    )
+    assert occ.shape == (8, 8, 8)
+    assert occ[4, 4, 4]  # center occupied
+    assert not occ[0, 0, 0]  # corner empty
+    frac = occ.mean()
+    assert 0.02 < frac < 0.5
+
+
+def test_kilonerf_network_render_and_reg():
+    net = KiloNerfNetwork(
+        resolution=(4, 4, 4), hidden=8, multires=4, multires_dirs=2,
+        n_samples=16, capacity_factor=4.0,
+    )
+    rng = np.random.RandomState(0)
+    n = 8
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(2.0 * d),  # outside, looking inward
+        "rays_d": jnp.asarray(-d),
+        "near": jnp.full((n, 1), 1.0),
+        "far": jnp.full((n, 1), 3.0),
+        "target": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+    }
+    occ = jnp.ones((8, 8, 8), bool)
+    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False, aux=occ)[
+        "params"
+    ]
+    out = net.apply({"params": params}, batch, rng=None, train=False, aux=occ)
+    assert out["rgb"].shape == (n, 3)
+    loss, _ = net.loss(out, batch)
+    reg = net.param_loss(params)
+    assert float(reg) > 0
+    # occupancy fully off -> empty render (white bkgd)
+    out2 = net.apply(
+        {"params": params}, batch, rng=None, train=False, aux=jnp.zeros((8, 8, 8), bool)
+    )
+    np.testing.assert_allclose(np.asarray(out2["rgb"]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2["acc"]), 0.0, atol=1e-6)

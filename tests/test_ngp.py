@@ -1,0 +1,279 @@
+"""Instant-NGP component + network tests: hash encoding, SH, occupancy
+grid ops, masked march, compositing gradient parity, end-to-end training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xrnerf_tpu.models.embedders.hashenc import (
+    HashEncoding,
+    per_level_scale,
+)
+from xrnerf_tpu.models.embedders.sh import sh_encode
+from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
+from xrnerf_tpu.models.samplers.ngp_march import (
+    MarchResult,
+    aabb_intersect,
+    composite_masked,
+    march_rays,
+)
+from xrnerf_tpu.models.samplers.occupancy import (
+    create_grid,
+    cell_centers,
+    generate_grid_samples,
+    occupied_at,
+    pos_to_cell,
+    splat_density,
+    update_bitfield,
+)
+
+
+# ---------------------------------------------------------------- hash enc
+def test_per_level_scale_matches_reference_formula():
+    # hashnerf_mlp.py:17-20: exp2(log2(2048*bound/16)/(16-1)) with bound=1
+    assert per_level_scale(2048, 16, 16) == pytest.approx(
+        float(np.exp2(np.log2(2048 / 16) / 15))
+    )
+
+
+def test_hash_encoding_shapes_and_interp():
+    enc = HashEncoding(n_levels=4, n_features=2, log2_table_size=14, base_res=4, max_res=32)
+    x = jnp.asarray([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    out = enc.apply({"params": params}, x)
+    assert out.shape == (3, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # continuity: nearby points give nearby encodings
+    x2 = x + 1e-4
+    out2 = enc.apply({"params": params}, x2)
+    assert float(jnp.abs(out - out2).max()) < 1e-2
+    # gradient flows into the table (scatter-add transpose)
+    g = jax.grad(lambda p: jnp.sum(enc.apply({"params": p}, x) ** 2))(params)
+    assert float(jnp.abs(g["table"]).sum()) > 0
+
+
+def test_hash_encoding_batched_shapes():
+    enc = HashEncoding(n_levels=2, n_features=2, log2_table_size=10, base_res=4, max_res=8)
+    x = jnp.zeros((5, 7, 3))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    assert enc.apply({"params": params}, x).shape == (5, 7, 4)
+
+
+# ---------------------------------------------------------------- SH
+def test_sh_encode_orthonormality():
+    """Monte-Carlo check: int Y_i Y_j dOmega ~= delta_ij."""
+    rng = np.random.RandomState(0)
+    v = rng.randn(20000, 3)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    Y = np.asarray(sh_encode(jnp.asarray(v), 4))  # [N, 16]
+    gram = 4 * np.pi * (Y.T @ Y) / v.shape[0]
+    np.testing.assert_allclose(gram, np.eye(16), atol=0.15)
+
+
+# ---------------------------------------------------------------- occupancy
+def test_cell_roundtrip():
+    idx = jnp.asarray([0, 5, 128 * 128 * 128 - 1])
+    casc = jnp.zeros((3,), jnp.int32)
+    pos = cell_centers(idx, casc)
+    idx2, inb = pos_to_cell(pos, casc)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx))
+    assert np.all(np.asarray(inb))
+
+
+def test_splat_and_bitfield():
+    grid = create_grid(1)
+    casc = jnp.zeros((4,), jnp.int32)
+    cells = jnp.asarray([10, 10, 20, 30])
+    dens = jnp.asarray([0.5, 0.9, 0.001, 2.0])
+    grid = splat_density(grid, casc, cells, dens, decay=0.95)
+    d = np.asarray(grid.density[0])
+    assert d[10] == pytest.approx(0.9)  # max of duplicate splats
+    assert d[30] == pytest.approx(2.0)
+    grid = update_bitfield(grid, threshold=0.01)
+    b = np.asarray(grid.bitfield[0])
+    assert b[10] and b[30]
+    # NGP thresholds at min(mean_density, 0.01); with a near-zero mean even
+    # the 0.001 cell counts as occupied, while exact zeros do not.
+    assert b[20]
+    assert not b[40]
+    # EMA decay path
+    grid2 = splat_density(grid, casc[:1], jnp.asarray([10]), jnp.asarray([0.0]))
+    assert np.asarray(grid2.density[0])[30] == pytest.approx(2.0 * 0.95)
+
+
+def test_untrained_cells_stay_masked():
+    grid = create_grid(1)
+    grid = grid._replace(density=grid.density.at[0, 7].set(-1.0))
+    grid = splat_density(grid, jnp.asarray([0]), jnp.asarray([7]), jnp.asarray([5.0]))
+    assert float(grid.density[0, 7]) == -1.0
+    grid = update_bitfield(grid)
+    assert not bool(grid.bitfield[0, 7])
+
+
+def test_generate_grid_samples_bias():
+    grid = create_grid(1)
+    grid = grid._replace(density=grid.density.at[0, 1000].set(1.0))
+    pos, casc, cells = generate_grid_samples(jax.random.PRNGKey(0), grid, 64, 64, 0.5)
+    assert pos.shape == (128, 3)
+    # biased half must all hit the single occupied cell
+    assert np.all(np.asarray(cells[64:]) == 1000)
+
+
+# ---------------------------------------------------------------- marching
+def test_aabb_intersect():
+    o = jnp.asarray([[-1.0, 0.5, 0.5], [0.5, 0.5, 0.5], [2.0, 0.5, 0.5]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    tn, tf = aabb_intersect(o, d)
+    # box behind the third ray -> clamped to (0, 0): empty span, no samples
+    np.testing.assert_allclose(np.asarray(tn), [1.0, 0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tf), [2.0, 0.5, 0.0], atol=1e-5)
+
+
+def test_march_skips_empty_space():
+    grid = create_grid(1)
+    # only a thin slab x in [0.5, 0.5+1/128) occupied
+    occ = np.zeros((128, 128, 128), bool)
+    occ[64] = True  # x index 64
+    bit = jnp.asarray(occ.transpose(2, 1, 0).reshape(1, -1))  # idx = x + R(y + R z)
+    grid = grid._replace(bitfield=bit)
+    o = jnp.asarray([[-0.5, 0.5, 0.5]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    m = march_rays(None, o, d, grid, n_candidates=512, n_keep=16)
+    live = np.asarray(m.mask[0])
+    z = np.asarray(m.z_vals[0])
+    assert live.sum() >= 1
+    # all live samples are inside the slab
+    xs = np.asarray(m.pts[0][live][:, 0])
+    assert np.all((xs >= 0.5 - 0.01) & (xs <= 0.5 + 1 / 128 + 0.01))
+    # live samples sorted to the front and ordered by z
+    k = int(live.sum())
+    assert live[:k].all() and not live[k:].any()
+    assert np.all(np.diff(z[:k]) >= -1e-6)
+
+
+def test_composite_masked_matches_manual_gradient():
+    """Autodiff through composite_masked must equal the reference's analytic
+    gradient (calc_rgb.cu:71-144 suffix-sum formulation)."""
+    rng = np.random.RandomState(0)
+    n, k = 4, 8
+    raw_rgb = jnp.asarray(rng.randn(n, k, 3).astype(np.float32))
+    raw_sigma = jnp.asarray(rng.randn(n, k).astype(np.float32))
+    z = jnp.sort(jnp.asarray(rng.rand(n, k).astype(np.float32)), axis=-1)
+    dt = jnp.full((n, k), 0.05)
+    mask = jnp.asarray(rng.rand(n, k) > 0.3)
+    march = MarchResult(
+        pts=jnp.zeros((n, k, 3)), dirs=jnp.zeros((n, 3)), z_vals=z, dt=dt, mask=mask
+    )
+    target = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+
+    def loss(rr, rs):
+        out = composite_masked(rr, rs, march, white_bkgd=True)
+        return jnp.sum((out["rgb"] - target) ** 2)
+
+    g_rgb, g_sigma = jax.grad(loss, argnums=(0, 1))(raw_rgb, raw_sigma)
+
+    # manual analytic gradient via the suffix trick
+    rgb = jax.nn.sigmoid(raw_rgb)
+    sigma = jnp.where(mask, jnp.exp(jnp.clip(raw_sigma, -15, 15)), 0.0)
+    alpha = 1 - jnp.exp(-sigma * dt)
+    T = jnp.concatenate(
+        [jnp.ones((n, 1)), jnp.cumprod(1 - alpha[:, :-1] + 1e-10, -1)], -1
+    )
+    w = alpha * T
+    rgb_map = jnp.sum(w[..., None] * rgb, -2) + (1 - w.sum(-1))[..., None]
+    gout = 2 * (rgb_map - target)  # dL/drgb_map [n,3]
+    # dL/draw_rgb = w * g * sigmoid'
+    man_g_rgb = w[..., None] * gout[:, None, :] * rgb * (1 - rgb)
+    np.testing.assert_allclose(np.asarray(g_rgb), np.asarray(man_g_rgb), rtol=1e-3, atol=1e-5)
+
+    # dL/dsigma_i = dt * <g, T_i(1-a_i) c_i - suffix_i - bg> (the NGP
+    # suffix trick, calc_rgb.cu:71-144): post-sample transmittance times
+    # own color, minus all later contributions incl. the background.
+    suffix = jnp.cumsum((w[..., None] * rgb)[:, ::-1], axis=1)[:, ::-1]
+    suffix = jnp.concatenate([suffix[:, 1:], jnp.zeros((n, 1, 3))], axis=1)
+    bg = (1 - w.sum(-1))[:, None, None]  # white bkgd residual transmittance
+    t_post = T * (1 - alpha)
+    man_g_sigma_act = dt * (
+        jnp.einsum("nc,nkc->nk", gout, t_post[..., None] * rgb - suffix - bg)
+    )
+    man_g_sigma = man_g_sigma_act * sigma  # exp activation derivative
+    np.testing.assert_allclose(
+        np.asarray(g_sigma), np.asarray(man_g_sigma), rtol=1e-3, atol=1e-4
+    )
+
+
+# ---------------------------------------------------------------- network
+def _ngp_batch(n=32, seed=0):
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = 0.5 + 0.1 * rng.randn(n, 3).astype(np.float32)
+    return {
+        "rays_o": jnp.asarray(o),
+        "rays_d": jnp.asarray(d),
+        "target": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+        "alpha": jnp.asarray(rng.rand(n, 1).astype(np.float32)),
+    }
+
+
+def _tiny_ngp(**kw):
+    defaults = dict(
+        n_levels=4, log2_table_size=12, base_res=4, max_res=64, hidden_dim=16,
+        geo_feat_dim=7, n_candidates=64, n_keep=16, grid_update_samples=512,
+        grid_res=32,
+    )
+    defaults.update(kw)
+    return HashNerfNetwork(**defaults)
+
+
+def test_hashnerf_forward_loss_grid_update():
+    net = _tiny_ngp()
+    batch = _ngp_batch()
+    grid = net.init_aux(None)
+    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False, aux=grid)[
+        "params"
+    ]
+    out = net.apply({"params": params}, batch, rng=None, train=False, aux=grid)
+    assert out["rgb"].shape == (32, 3)
+    loss, log = net.loss(out, batch)
+    assert np.isfinite(float(loss))
+    assert "acc_err" in log and "live_frac" in log
+
+    grid2 = net.update_aux(params, grid, jnp.asarray(0), jax.random.PRNGKey(1))
+    assert grid2.density.shape == grid.density.shape
+    assert np.all(np.isfinite(np.asarray(grid2.density)))
+
+    def lf(p):
+        o = net.apply({"params": p}, batch, rng=jax.random.PRNGKey(2), train=True, aux=grid2)
+        return net.loss(o, batch)[0]
+
+    g = jax.grad(lf)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_hashnerf_trainer_end_to_end(synthetic_scene, tmp_path):
+    from xrnerf_tpu.core.trainer import Trainer
+    from xrnerf_tpu.datasets.hashnerf import HashNerfDataset
+
+    ds = HashNerfDataset(datadir=synthetic_scene, N_rand=64, testskip=1)
+    net = _tiny_ngp()
+    tr = Trainer(
+        net, ds, optimizer={"lr": 1e-2}, work_dir=str(tmp_path), max_iters=20,
+        ckpt_interval=20, log_interval=10, eval_chunk=256,
+    )
+    state = tr.run()
+    assert int(state.step) == 20
+    assert np.isfinite(tr.last_logs["loss"])
+    # aux grid checkpointed and resumable
+    import glob
+
+    ck = sorted(glob.glob(str(tmp_path / "ckpt_*.msgpack")))[-1]
+    tr2 = Trainer(
+        net, ds, optimizer={"lr": 1e-2}, work_dir=str(tmp_path), max_iters=22,
+        ckpt_interval=0, log_interval=10, eval_chunk=256, resume_from=ck,
+    )
+    assert tr2.start_step == 20
+    tr2.run()

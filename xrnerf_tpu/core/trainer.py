@@ -142,18 +142,31 @@ class Trainer:
         )
         params = variables["params"]
         self.state = TrainState.create(apply_fn=network.apply, params=params, tx=self.tx)
-        self.ema_params = params if ema_decay > 0 else None
+        # EMA must own copies: state.params buffers get donated into the
+        # first train step, which would leave aliased EMA leaves deleted.
+        self.ema_params = (
+            jax.tree_util.tree_map(jnp.array, params) if ema_decay > 0 else None
+        )
         self.start_step = 0
 
+        # Auxiliary non-gradient state owned by the network (e.g. the NGP
+        # occupancy grid): init_aux/update_aux protocol, refreshed every
+        # ``network.aux_interval`` steps and checkpointed alongside params.
+        self.has_aux = hasattr(network, "init_aux")
+        self.aux = network.init_aux(params, dataset) if self.has_aux else None
+        self.aux_interval = int(getattr(network, "aux_interval", 16) or 16)
+
         if resume_from:
-            self.state = ckpt.load(resume_from, self.state)
+            restored = ckpt.load(resume_from, {"state": self.state, "aux": self.aux})
+            self.state, self.aux = restored["state"], restored["aux"]
             self.start_step = int(self.state.step)
             self.logger.info("resumed from %s at step %d", resume_from, self.start_step)
         elif load_from:
             raw = ckpt.load_raw(load_from)
             from flax import serialization
 
-            params = serialization.from_state_dict(self.state.params, raw["params"])
+            raw_params = raw["state"]["params"] if "state" in raw else raw["params"]
+            params = serialization.from_state_dict(self.state.params, raw_params)
             self.state = self.state.replace(params=params)
             self.logger.info("loaded weights from %s", load_from)
 
@@ -168,17 +181,31 @@ class Trainer:
 
         # --- jitted step + stable eval apply ---
         network_loss = network.loss
+        has_aux = self.has_aux
 
-        def _train_step(state: TrainState, batch, rng):
+        has_param_loss = hasattr(network, "param_loss")
+
+        def _train_step(state: TrainState, batch, rng, aux):
             def loss_fn(params):
-                outputs = state.apply_fn({"params": params}, batch, rng=rng, train=True)
-                return network_loss(outputs, batch)
+                kw = {"aux": aux} if has_aux else {}
+                outputs = state.apply_fn({"params": params}, batch, rng=rng, train=True, **kw)
+                loss, logs = network_loss(outputs, batch)
+                if has_param_loss:
+                    reg = network.param_loss(params)
+                    loss = loss + reg
+                    logs = {**logs, "param_reg": reg, "loss": loss}
+                return loss, logs
 
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads=grads)
             return new_state, logs
 
         self._train_step = jax.jit(_train_step, donate_argnums=(0,))
+        self._aux_update = (
+            jax.jit(network.update_aux, donate_argnums=(1,))
+            if self.has_aux and hasattr(network, "update_aux")
+            else None
+        )
 
         if ema_decay > 0:
 
@@ -189,8 +216,18 @@ class Trainer:
 
             self._ema_update = jax.jit(_ema_update, donate_argnums=(0,))
 
-        def _eval_apply(params, batch, rng):
-            return network.apply({"params": params}, batch, rng=None, train=False)
+        if self.has_aux:
+
+            def _eval_apply(params_and_aux, batch, rng):
+                params, aux = params_and_aux
+                return network.apply(
+                    {"params": params}, batch, rng=None, train=False, aux=aux
+                )
+
+        else:
+
+            def _eval_apply(params, batch, rng):
+                return network.apply({"params": params}, batch, rng=None, train=False)
 
         self._eval_apply = _eval_apply
 
@@ -203,8 +240,9 @@ class Trainer:
         return self.ema_params if self.ema_params is not None else self.state.params
 
     def render_image(self, rays: Dict[str, np.ndarray], H: int, W: int):
+        p = (self.eval_params, self.aux) if self.has_aux else self.eval_params
         return _render_image(
-            self._eval_apply, self.eval_params, rays, H, W, chunk=self.eval_chunk
+            self._eval_apply, p, rays, H, W, chunk=self.eval_chunk
         )
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):
@@ -226,9 +264,18 @@ class Trainer:
 
         step = self.start_step
         while step < self.max_iters and not self._stop:
+            if self._aux_update is not None and step % self.aux_interval == 0:
+                # separate fold_in stream from the train-step rng (offset
+                # by 2^31 keeps it in fold_in's uint32 domain)
+                self.aux = self._aux_update(
+                    self.state.params,
+                    self.aux,
+                    jnp.asarray(step),
+                    jax.random.fold_in(self.base_rng, 2**31 + step),
+                )
             batch = self._put_batch(self.dataset.train_batch(step, host_id, num_hosts))
             rng = jax.random.fold_in(self.base_rng, step)
-            self.state, logs = self._train_step(self.state, batch, rng)
+            self.state, logs = self._train_step(self.state, batch, rng, self.aux)
             if self.ema_params is not None:
                 self.ema_params = self._ema_update(self.ema_params, self.state.params)
             step += 1
@@ -261,10 +308,10 @@ class Trainer:
                     h.on_eval(self, step)
 
             if self.ckpt_interval and step % self.ckpt_interval == 0:
-                ckpt.save(self.work_dir, step, self.state)
+                ckpt.save(self.work_dir, step, {"state": self.state, "aux": self.aux})
 
         if self.ckpt_interval:
-            ckpt.save(self.work_dir, step, self.state)
+            ckpt.save(self.work_dir, step, {"state": self.state, "aux": self.aux})
         for h in self.hooks:
             h.on_run_end(self)
         return self.state

@@ -144,7 +144,8 @@ def sample_along_rays_mip(
         t_vals = lower + (upper - lower) * t_rand
     else:
         t_vals = jnp.broadcast_to(t_vals, (batch, num_samples + 1))
-    means, covs = cast_rays(t_vals, origins, directions, radii[..., 0], ray_shape)
+    # radii kept [N, 1] so it broadcasts against [N, S] frustum extents
+    means, covs = cast_rays(t_vals, origins, directions, radii, ray_shape)
     return t_vals, (means, covs)
 
 
@@ -221,5 +222,5 @@ def resample_along_rays(
     )
     if stop_level_grad:
         new_t_vals = jax.lax.stop_gradient(new_t_vals)
-    means, covs = cast_rays(new_t_vals, origins, directions, radii[..., 0], ray_shape)
+    means, covs = cast_rays(new_t_vals, origins, directions, radii, ray_shape)
     return new_t_vals, (means, covs)

@@ -1,0 +1,150 @@
+"""Instant-NGP network: occupancy-marched hash-grid rendering.
+
+Parity target: ``HashNerfNetwork``
+(``/root/reference/xrnerf/models/networks/hashnerf.py``): forward =
+sampler.sample -> mlp -> render (:24-30), Huber loss x5 + alpha-masked mse
+for PSNR (:37-44); plus the NGPGridSampler update cadence
+(``ngp_grid_sampler.py:168-174``: density-grid refresh every 16 iters).
+
+TPU-first: the sampler's mutable CUDA state machine becomes an immutable
+``OccupancyGrid`` pytree threaded through the Trainer as auxiliary state
+(``init_aux``/``update_aux``); marching is the static-shape two-pass
+masked march (ngp_march.py); the dynamic ray-batch adaptation loop of the
+reference (:268-281) is replaced by a fixed ray batch with a fixed
+sample budget — bucketed static shapes instead of feedback resizing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...registry import NETWORKS
+from ...utils.metrics import huber, img2mse, mse2psnr
+from ..fields.ngp_mlp import NGPField
+from ..samplers.ngp_march import SQRT3, composite_masked, march_rays
+from ..samplers.occupancy import (
+    OccupancyGrid,
+    create_grid,
+    generate_grid_samples,
+    splat_density,
+    update_bitfield,
+)
+from .base import BaseNetwork
+
+
+@NETWORKS.register
+class HashNerfNetwork(BaseNetwork):
+    # field
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 19
+    base_res: int = 16
+    max_res: int = 2048
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    # marching
+    n_cascades: int = 1
+    grid_res: int = 128
+    n_candidates: int = 512
+    n_keep: int = 64
+    white_bkgd: bool = True
+    # grid update
+    grid_update_samples: int = 65536
+    density_threshold: float = 0.01
+    loss_scale: float = 5.0
+    huber_delta: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    # Trainer aux-state protocol
+    aux_interval = 16
+
+    def setup(self):
+        self.field = NGPField(
+            n_levels=self.n_levels,
+            n_features=self.n_features,
+            log2_table_size=self.log2_table_size,
+            base_res=self.base_res,
+            max_res=self.max_res,
+            hidden_dim=self.hidden_dim,
+            geo_feat_dim=self.geo_feat_dim,
+            dtype=self.dtype,
+        )
+
+    def density(self, pts: jnp.ndarray) -> jnp.ndarray:
+        """Post-activation density at [..., 3] grid-coord points (the
+        reference's ``run_density`` used for grid updates)."""
+        raw_sigma, _ = self.field.density(pts)
+        return jnp.exp(jnp.clip(raw_sigma, -15.0, 15.0))
+
+    def __call__(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        aux: Optional[OccupancyGrid] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        grid = aux if aux is not None else create_grid(self.n_cascades, self.grid_res)
+        k_march = rng if (rng is not None and train) else None
+        march = march_rays(
+            k_march,
+            batch["rays_o"],
+            batch["rays_d"],
+            grid,
+            n_candidates=self.n_candidates,
+            n_keep=self.n_keep,
+            res=self.grid_res,
+        )
+        n, k, _ = march.pts.shape
+        dirs = jnp.repeat(march.dirs, k, axis=0)
+        raw_rgb, raw_sigma = self.field(march.pts.reshape(n * k, 3), dirs)
+        ret = composite_masked(
+            raw_rgb.reshape(n, k, 3),
+            raw_sigma.reshape(n, k),
+            march,
+            white_bkgd=self.white_bkgd,
+        )
+        ret["n_live_samples"] = jnp.sum(march.mask)
+        return ret
+
+    def loss(
+        self, outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        target = batch["target"]
+        loss = self.loss_scale * huber(outputs["rgb"], target, self.huber_delta)
+        mse = img2mse(outputs["rgb"], target)
+        log = {"loss": loss, "mse": mse, "psnr": mse2psnr(mse)}
+        if "alpha" in batch:
+            log["acc_err"] = img2mse(outputs["acc"][..., None], batch["alpha"])
+        log["live_frac"] = outputs["n_live_samples"] / (
+            outputs["acc"].shape[0] * self.n_keep
+        )
+        return loss, log
+
+    # ------------------------------------------------------------------
+    # Trainer aux-state protocol (occupancy grid lifecycle)
+    # ------------------------------------------------------------------
+    def init_aux(self, params, dataset=None) -> OccupancyGrid:
+        return create_grid(self.n_cascades, self.grid_res)
+
+    def update_aux(
+        self, params, aux: OccupancyGrid, step: jnp.ndarray, rng: jax.Array
+    ) -> OccupancyGrid:
+        """Density-grid refresh (reference cadence: every 16 iters, uniform
+        + occupancy-biased samples after warmup — ngp_grid_sampler.py:168-174).
+
+        The grid stores per-step optical thickness sigma*dt so the 0.01
+        threshold matches NERF_MIN_OPTICAL_THICKNESS semantics
+        (calc_rgb.cu regularizer gate / update_bitfield.cu threshold).
+        """
+        n_total = self.grid_update_samples
+        n_uniform = n_total // 2
+        pos, cascade, cell_idx = generate_grid_samples(
+            rng, aux, n_uniform, n_total - n_uniform, 0.0, res=self.grid_res
+        )
+        sigma = self.apply({"params": params}, pos, method=self.density)
+        dt = SQRT3 / self.n_candidates * jnp.exp2(cascade.astype(jnp.float32))
+        grid = splat_density(aux, cascade, cell_idx, sigma * dt, res=self.grid_res)
+        return update_bitfield(grid, self.density_threshold, res=self.grid_res)

@@ -1,0 +1,216 @@
+"""KiloNeRF: finetune network, distill student, occupancy-grid builder.
+
+Parity targets in the reference:
+  - ``KiloNerfNetwork`` (``/root/reference/xrnerf/models/networks/kilonerf.py:19-144``):
+    NerfNetwork-style rendering through the multi-network + L2 reg on
+    view-dependent params (:37-42)
+  - ``StudentNerfNetwork`` (``networks/student_nerf.py:18-148``): frozen
+    teacher generates (rgb, sigma) targets at random points; student =
+    multi-network; per-network MSE
+  - ``BuildOccupancyTreeHook`` (``core/hooks/build_occupancy_tree_hook.py:19-123``):
+    dense density sampling -> threshold -> any-pool -> occupancy grid
+
+TPU-first: the finetune render is the same static two-pass pattern as NGP
+(uniform samples, occupancy-mask, MoE-dispatch multi-MLP eval, composite);
+the occupancy grid is a plain bool array built by one jitted sweep.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...registry import NETWORKS
+from ...utils.metrics import img2mse, mse2psnr
+from ..fields.kilonerf_field import MultiNetworkMLP, assign_networks
+from ..renders.volume import volume_render
+from ..samplers.stratified import sample_along_rays, z_to_pts
+from .base import BaseNetwork
+
+
+@NETWORKS.register
+class KiloNerfNetwork(BaseNetwork):
+    """Finetune/inference network over a fixed grid of tiny MLPs."""
+
+    resolution: Sequence[int] = (16, 16, 16)
+    domain_min: Sequence[float] = (-1.0, -1.0, -1.0)
+    domain_max: Sequence[float] = (1.0, 1.0, 1.0)
+    hidden: int = 32
+    n_hidden_layers: int = 2
+    multires: int = 10
+    multires_dirs: int = 4
+    n_samples: int = 384
+    capacity_factor: float = 2.0
+    white_bkgd: bool = True
+    view_dep_reg: float = 1e-6
+    occupancy_path: str = ""  # .npy bool grid from build_occupancy_grid
+    dtype: Any = jnp.float32
+
+    @property
+    def n_nets(self) -> int:
+        r = self.resolution
+        return int(r[0] * r[1] * r[2])
+
+    def setup(self):
+        self.mlp = MultiNetworkMLP(
+            n_nets=self.n_nets,
+            hidden=self.hidden,
+            n_hidden_layers=self.n_hidden_layers,
+            multires=self.multires,
+            multires_dirs=self.multires_dirs,
+            capacity_factor=self.capacity_factor,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        aux: Optional[jnp.ndarray] = None,  # bool occupancy [ox, oy, oz]
+    ) -> Dict[str, jnp.ndarray]:
+        rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+        near, far = batch["near"], batch["far"]
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        dmin = jnp.asarray(self.domain_min)
+        dmax = jnp.asarray(self.domain_max)
+
+        z_vals = sample_along_rays(
+            rng if train else None, near, far, self.n_samples, perturb=train
+        )
+        pts = z_to_pts(rays_o, rays_d, z_vals)  # [N, S, 3]
+        n, s, _ = pts.shape
+        flat = pts.reshape(n * s, 3)
+        net_idx, local = assign_networks(flat, dmin, dmax, self.resolution)
+
+        if aux is not None:
+            # empty-space skip: points in unoccupied cells become inactive
+            ores = jnp.asarray(aux.shape)
+            rel = (flat - dmin) / (dmax - dmin)
+            cell = jnp.clip(jnp.floor(rel * ores).astype(jnp.int32), 0, ores - 1)
+            occ = aux[cell[:, 0], cell[:, 1], cell[:, 2]]
+            net_idx = jnp.where(occ, net_idx, -1)
+
+        dirs_flat = jnp.repeat(viewdirs, s, axis=0)
+        raw_rgb, raw_sigma = self.mlp(local, dirs_flat, net_idx)
+        ret = volume_render(
+            raw_rgb.reshape(n, s, 3),
+            raw_sigma.reshape(n, s),
+            z_vals,
+            rays_d,
+            white_bkgd=self.white_bkgd,
+        )
+        return {"rgb": ret["rgb"], "disp": ret["disp"], "acc": ret["acc"], "depth": ret["depth"]}
+
+    def init_aux(self, params, dataset=None) -> Optional[jnp.ndarray]:
+        """Occupancy aux from the pretrain phase's grid file (the
+        reference ships it as occupancy.pth; ours is a bool .npy)."""
+        if self.occupancy_path:
+            return jnp.asarray(np.load(self.occupancy_path))
+        return None
+
+    def loss(self, outputs, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        mse = img2mse(outputs["rgb"], batch["target"])
+        return mse, {"loss": mse, "mse": mse, "psnr": mse2psnr(mse)}
+
+    def param_loss(self, params) -> jnp.ndarray:
+        """L2 on view-dependent (color-branch) weights (kilonerf.py:37-42)."""
+        reg = 0.0
+        mlp = params["mlp"]
+        for k in ("color_hidden_w", "rgb_w"):
+            reg = reg + jnp.sum(mlp[k] ** 2)
+        return self.view_dep_reg * reg
+
+
+@NETWORKS.register
+class StudentNerfNetwork(BaseNetwork):
+    """Distill-phase student: multi-network fit to teacher point samples.
+
+    The frozen teacher lives in the *dataset* (targets are precomputed per
+    batch with one jitted teacher call), so the student's params contain
+    only trainable weights — no frozen-parameter bookkeeping in the
+    optimizer (the reference instead wraps the teacher network inside the
+    student module, student_nerf.py:33-38).
+    """
+
+    resolution: Sequence[int] = (16, 16, 16)
+    domain_min: Sequence[float] = (-1.0, -1.0, -1.0)
+    domain_max: Sequence[float] = (1.0, 1.0, 1.0)
+    hidden: int = 32
+    n_hidden_layers: int = 2
+    multires: int = 10
+    multires_dirs: int = 4
+    capacity_factor: float = 4.0
+    sigma_loss_weight: float = 0.1
+    dtype: Any = jnp.float32
+
+    @property
+    def n_nets(self) -> int:
+        r = self.resolution
+        return int(r[0] * r[1] * r[2])
+
+    def setup(self):
+        self.mlp = MultiNetworkMLP(
+            n_nets=self.n_nets,
+            hidden=self.hidden,
+            n_hidden_layers=self.n_hidden_layers,
+            multires=self.multires,
+            multires_dirs=self.multires_dirs,
+            capacity_factor=self.capacity_factor,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, batch, rng=None, train=False) -> Dict[str, jnp.ndarray]:
+        pts, dirs = batch["pts"], batch["dirs"]
+        net_idx, local = assign_networks(
+            pts, jnp.asarray(self.domain_min), jnp.asarray(self.domain_max), self.resolution
+        )
+        raw_rgb, raw_sigma = self.mlp(local, dirs, net_idx)
+        return {"rgb": jax.nn.sigmoid(raw_rgb), "sigma": jax.nn.relu(raw_sigma)}
+
+    def loss(self, outputs, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        rgb_mse = img2mse(outputs["rgb"], batch["target_rgb"])
+        sigma_mse = jnp.mean((outputs["sigma"] - batch["target_sigma"]) ** 2)
+        loss = rgb_mse + self.sigma_loss_weight * sigma_mse
+        return loss, {"loss": loss, "rgb_mse": rgb_mse, "sigma_mse": sigma_mse}
+
+
+def build_occupancy_grid(
+    density_fn,
+    domain_min: Sequence[float],
+    domain_max: Sequence[float],
+    res: Sequence[int] = (256, 256, 256),
+    subsamples: int = 3,
+    threshold: float = 10.0,
+    chunk: int = 262144,
+) -> np.ndarray:
+    """Dense teacher-density sweep -> bool occupancy grid.
+
+    Parity: BuildOccupancyTreeHook.after_run (build_occupancy_tree_hook.py:
+    32-123): subsampled per-voxel density, threshold, any-pool. density_fn
+    maps [M,3] world pts -> [M] densities (jit-compatible).
+    """
+    res = tuple(int(r) for r in res)
+    dmin = np.asarray(domain_min, np.float32)
+    dmax = np.asarray(domain_max, np.float32)
+    # voxel-corner lattice at (res*subsamples) resolution
+    fine = [r * subsamples for r in res]
+    xs = [(np.arange(f, dtype=np.float32) + 0.5) / f for f in fine]
+    occ = np.zeros(res, bool)
+    fn = jax.jit(density_fn)
+    # sweep plane by plane to bound memory
+    for ix in range(fine[0]):
+        yy, zz = np.meshgrid(xs[1], xs[2], indexing="ij")
+        plane = np.stack(
+            [np.full_like(yy, xs[0][ix]), yy, zz], axis=-1
+        ).reshape(-1, 3)
+        world = dmin + plane * (dmax - dmin)
+        dens = np.asarray(fn(jnp.asarray(world))).reshape(fine[1], fine[2])
+        hit = dens > threshold
+        # any-pool into the coarse grid
+        hit = hit.reshape(res[1], subsamples, res[2], subsamples).any((1, 3))
+        occ[ix // subsamples] |= hit
+    return occ

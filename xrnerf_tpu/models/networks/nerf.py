@@ -133,6 +133,19 @@ class NerfNetwork(BaseNetwork):
             )
         return out
 
+    def eval_field(
+        self, pts: jnp.ndarray, viewdirs: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Point-wise field eval (fine MLP): [B,3],[B,3] -> (rgb, sigma).
+
+        Used as the frozen KiloNeRF distillation teacher
+        (student_nerf.py:104-124 teacher_batchify_forward). Activations
+        applied: sigmoid rgb, relu sigma.
+        """
+        mlp = self.mlp_fine if self.n_importance > 0 else self.mlp_coarse
+        raw_rgb, raw_sigma = self._eval_mlp(mlp, pts[:, None, :], viewdirs)
+        return jax.nn.sigmoid(raw_rgb[:, 0]), jax.nn.relu(raw_sigma[:, 0])
+
     def loss(
         self, outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
