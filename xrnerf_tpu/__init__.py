@@ -26,11 +26,21 @@ from .registry import (  # noqa: F401
 
 def _register_all():
     """Import modules for registry side effects."""
+    from .datasets import aninerf as aninerf_data  # noqa: F401
     from .datasets import bungee as bungee_data  # noqa: F401
     from .datasets import hashnerf as hashnerf_data  # noqa: F401
     from .datasets import kilonerf as kilonerf_data  # noqa: F401
     from .datasets import multiscale, scene  # noqa: F401
-    from .models.networks import bungeenerf, hashnerf, kilonerf, mipnerf, nerf  # noqa: F401
+    from .datasets import neuralbody as neuralbody_data  # noqa: F401
+    from .models.networks import (  # noqa: F401
+        aninerf,
+        bungeenerf,
+        hashnerf,
+        kilonerf,
+        mipnerf,
+        nerf,
+        neuralbody,
+    )
     from .core import hooks  # noqa: F401
 
 

@@ -39,20 +39,30 @@ def render_rays_chunked(
     ``apply_fn`` must be jittable with train=False semantics baked in.
     Returns host numpy arrays of leading dim R.
     """
-    n = next(iter(rays.values())).shape[0]
+    # ``ctx_*`` keys (and scalars) are per-item context shared by every
+    # chunk (e.g. SMPL vertices, frame index); only ray keys get chunked.
+    ctx = {
+        k: jax.numpy.asarray(v)
+        for k, v in rays.items()
+        if k.startswith("ctx_") or np.ndim(v) == 0
+    }
+    ray_keys = {
+        k: v for k, v in rays.items() if k not in ctx and k != "target"
+    }
+    n = next(iter(ray_keys.values())).shape[0]
     n_pad = (-n) % chunk
     padded = {
         k: np.concatenate([v, np.repeat(v[-1:], n_pad, axis=0)], axis=0)
         if n_pad
         else v
-        for k, v in rays.items()
-        if k != "target"
+        for k, v in ray_keys.items()
     }
     jitted = _get_jitted(apply_fn)
     outs: Dict[str, list] = {k: [] for k in keys}
     total = n + n_pad
     for start in range(0, total, chunk):
         cb = {k: jax.numpy.asarray(v[start : start + chunk]) for k, v in padded.items()}
+        cb.update(ctx)
         ret = jitted(params, cb, rng)
         for k in keys:
             if k in ret:

@@ -141,6 +141,26 @@ class Trainer:
             init_rng, _to_jnp(example), rng=jax.random.PRNGKey(0), train=False
         )
         params = variables["params"]
+
+        # Phase-frozen params (e.g. AniNeRF novel_pose trains only its
+        # novel-pose bw MLP): mask the optimizer so frozen subtrees get
+        # zero updates (replaces the reference's requires_grad toggling).
+        filt = (
+            network.trainable_filter()
+            if hasattr(network, "trainable_filter")
+            else None
+        )
+        if filt is not None:
+            from flax import traverse_util
+
+            flat = traverse_util.flatten_dict(params)
+            labels = traverse_util.unflatten_dict(
+                {k: ("train" if filt("/".join(k)) else "freeze") for k in flat}
+            )
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "freeze": optax.set_to_zero()}, labels
+            )
+
         self.state = TrainState.create(apply_fn=network.apply, params=params, tx=self.tx)
         # EMA must own copies: state.params buffers get donated into the
         # first train step, which would leave aliased EMA leaves deleted.
@@ -246,9 +266,19 @@ class Trainer:
         )
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):
+        """Rays shard along the data axis; ``ctx_*`` keys (per-item context
+        like SMPL vertices or frame ids) and scalars replicate."""
         batch = _to_jnp(batch)
         if self._batch_sharding is not None:
-            batch = jax.device_put(batch, self._batch_sharding)
+            batch = {
+                k: jax.device_put(
+                    v,
+                    self._repl_sharding
+                    if (k.startswith("ctx_") or v.ndim == 0)
+                    else self._batch_sharding,
+                )
+                for k, v in batch.items()
+            }
         return batch
 
     # ------------------------------------------------------------------

@@ -31,11 +31,17 @@ class KiloNerfDataset(SceneDataset):
     def __init__(
         self,
         *args,
-        global_domain_min: Sequence[float] = (-1.0, -1.0, -1.0),
-        global_domain_max: Sequence[float] = (1.0, 1.0, 1.0),
+        global_domain_min: Optional[Sequence[float]] = None,
+        global_domain_max: Optional[Sequence[float]] = None,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
+        # nsvf layouts carry the domain in bbox.txt (utils/data_helper.py
+        # get_global_domain_min_and_max in the reference); config overrides win
+        if global_domain_min is None:
+            global_domain_min = self.bbox[0] if self.bbox is not None else (-1.0,) * 3
+        if global_domain_max is None:
+            global_domain_max = self.bbox[1] if self.bbox is not None else (1.0,) * 3
         self.global_domain_min = np.asarray(global_domain_min, np.float32)
         self.global_domain_max = np.asarray(global_domain_max, np.float32)
 

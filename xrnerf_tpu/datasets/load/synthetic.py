@@ -39,6 +39,72 @@ def _trace_sphere(H, W, focal, c2w, radius=1.0):
     return (img * 255).astype(np.uint8)
 
 
+def make_synthetic_zju(
+    n_frames: int = 2,
+    n_cams: int = 4,
+    H: int = 32,
+    W: int = 32,
+    n_verts: int = 500,
+    radius: float = 0.3,
+    cam_dist: float = 2.0,
+    seed: int = 0,
+):
+    """In-memory ZJU-MoCap-like arrays: a sphere 'person' point cloud seen
+    by a ring of x_cam = R x + T pinhole cameras. Returns the ``arrays``
+    dict accepted by NeuralBodyDataset/AniNeRFDataset."""
+    rng = np.random.RandomState(seed)
+    # sphere point cloud ("SMPL vertices"), drifting slightly per frame
+    v = rng.randn(n_verts, 3)
+    v = radius * v / np.linalg.norm(v, axis=-1, keepdims=True)
+    verts = np.stack(
+        [v + 0.03 * f * np.array([1.0, 0, 0]) for f in range(n_frames)]
+    ).astype(np.float32)
+
+    focal = 0.9 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    Ks, Rs, Ts = [], [], []
+    for c in range(n_cams):
+        th = 2 * np.pi * c / n_cams
+        pos = cam_dist * np.array([np.cos(th), np.sin(th), 0.15])
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd]).astype(np.float32)
+        Ks.append(K)
+        Rs.append(R)
+        Ts.append((-R @ pos).astype(np.float32))
+
+    from ..neuralbody import rays_from_KRT
+
+    imgs = np.zeros((n_frames, n_cams, H, W, 3), np.float32)
+    masks = np.zeros((n_frames, n_cams, H, W), np.float32)
+    for f in range(n_frames):
+        center = verts[f].mean(0)
+        for c in range(n_cams):
+            o, d = rays_from_KRT(H, W, Ks[c], Rs[c], Ts[c])
+            dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+            oc = o - center
+            b = np.sum(oc * dn, -1)
+            disc = b * b - (np.sum(oc * oc, -1) - radius**2)
+            hit = disc > 0
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            hit &= t > 0
+            p = oc + t[..., None] * dn
+            rgb = np.clip(0.5 * (p / radius + 1.0), 0, 1)
+            imgs[f, c] = np.where(hit[..., None], rgb, 0.0).reshape(H, W, 3)
+            masks[f, c] = hit.astype(np.float32).reshape(H, W)
+
+    return {
+        "imgs": imgs,
+        "masks": masks,
+        "K": np.stack(Ks),
+        "R": np.stack(Rs),
+        "T": np.stack(Ts),
+        "verts": verts,
+    }
+
+
 def make_synthetic_blender(
     out_dir: str,
     n_train: int = 4,

@@ -74,6 +74,8 @@ class SceneDataset:
         self.with_radii = with_radii
         self.seed = seed
 
+        K_override = None
+        self.bbox = None  # (bmin, bmax) global domain when the layout has one
         if dataset_type == "blender":
             imgs, poses, render_poses, hwf, i_split = load_blender_data(
                 datadir, half_res=half_res, testskip=testskip
@@ -90,12 +92,41 @@ class SceneDataset:
             else:
                 self.near = float(np.min(bds)) * 0.9
                 self.far = float(np.max(bds)) * 1.0
+        elif dataset_type == "nsvf":
+            from .load.nsvf import load_nsvf_data
+
+            (imgs, poses, K_override, self.near, self.far, self.bbox, _bg,
+             render_poses, i_split) = load_nsvf_data(datadir, testskip=testskip)
+            hwf = [imgs.shape[1], imgs.shape[2], K_override[0, 0]]
+        elif dataset_type == "deepvoxels":
+            from .load.deepvoxels import load_deepvoxels_data
+
+            imgs, poses, render_poses, hwf, (cx, cy), i_split = load_deepvoxels_data(
+                datadir, testskip=testskip
+            )
+            K_override = np.array(
+                [[hwf[2], 0, cx], [0, hwf[2], cy], [0, 0, 1]], np.float32
+            )
+            hemi_r = float(np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1)))
+            self.near, self.far = hemi_r - 1.0, hemi_r + 1.0
+        elif dataset_type == "LINEMOD":
+            from .load.linemod import load_linemod_data
+
+            (imgs, poses, render_poses, hwf, K_override, i_split,
+             self.near, self.far) = load_linemod_data(
+                datadir, half_res=half_res, testskip=testskip
+            )
+            K_override = np.asarray(K_override, np.float32)[:3, :3]
         else:
             raise ValueError(f"unknown dataset_type {dataset_type!r}")
 
         self.H, self.W = int(hwf[0]), int(hwf[1])
         self.focal = float(hwf[2])
-        self.K = intrinsics_from_hwf(self.H, self.W, self.focal)
+        self.K = (
+            K_override
+            if K_override is not None
+            else intrinsics_from_hwf(self.H, self.W, self.focal)
+        )
 
         self.alphas = imgs[..., 3:4].copy() if imgs.shape[-1] == 4 else None
         imgs3 = apply_white_bkgd(imgs) if white_bkgd else imgs[..., :3]
