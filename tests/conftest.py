@@ -23,6 +23,14 @@ if not os.environ.get("XRNERF_TEST_TPU"):
 
     _sys.path[:] = [p for p in _sys.path if "axon" not in p]
 
+    # The TPU plugin may already be registered by a sitecustomize.py that
+    # ran BEFORE this conftest (it imports jax with JAX_PLATFORMS from the
+    # launch env). Setting os.environ above is then too late — force the
+    # platform through the live config so tests never ride the tunnel.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -109,32 +109,82 @@ def main(argv=None):
     # -- phase 2: distill --------------------------------------------------
     dis_cfg = load_config(args.distill_cfg, dataname=args.dataname)
     dis_work = dis_cfg.get("work_dir", "./work_dirs/kilonerf_distill/" + args.dataname)
+    os.makedirs(dis_work, exist_ok=True)
+    mode = dis_cfg.get("mode", "uniform")
+    grid_npz = os.path.join(dis_work, "distill_grid.npz")
     if not args.skip_distill:
-        data_cfg = dict(dis_cfg["data"])
-        data_cfg["teacher_fn"] = teacher_fn
-        dataset = build_dataset(data_cfg)
-        network = build_network(dis_cfg["model"])
-        tr = Trainer(
-            network,
-            dataset,
-            optimizer=dis_cfg.get("optimizer", {}),
-            work_dir=dis_work,
-            max_iters=dis_cfg.get("max_iters", 50000),
-            ckpt_interval=dis_cfg.get("ckpt_interval", 10000),
-            log_interval=dis_cfg.get("log_interval", 100),
-            hooks=build_hooks(dis_cfg.get("hooks")),
-        )
-        tr.run()
+        if mode == "tree":
+            # reference-parity kd-tree discovery (SaveDistillResultsHook &
+            # friends) -> fitted leaves assembled onto the finetune grid
+            from xrnerf_tpu.core.distill import DistillDriver
+
+            driver = DistillDriver(
+                teacher_fn,
+                domain_min=dmin,
+                domain_max=dmax,
+                work_dir=dis_work,
+                **dis_cfg.get("tree", {}),
+            )
+            driver.run()
+            grid = driver.assemble_grid(fin_cfg["model"]["resolution"])
+            np.savez(grid_npz, **grid)
+            print(f"assembled distilled grid -> {grid_npz}")
+        else:
+            data_cfg = dict(dis_cfg["data"])
+            data_cfg["teacher_fn"] = teacher_fn
+            dataset = build_dataset(data_cfg)
+            network = build_network(dis_cfg["model"])
+            tr = Trainer(
+                network,
+                dataset,
+                optimizer=dis_cfg.get("optimizer", {}),
+                work_dir=dis_work,
+                max_iters=dis_cfg.get("max_iters", 50000),
+                ckpt_interval=dis_cfg.get("ckpt_interval", 10000),
+                log_interval=dis_cfg.get("log_interval", 100),
+                hooks=build_hooks(dis_cfg.get("hooks")),
+            )
+            tr.run()
 
     # -- phase 3: finetune -------------------------------------------------
     if not args.skip_finetune:
-        distill_ckpt = ckptmod.latest_path(dis_work)
-        run_nerf.main(
-            [
-                "--config", args.finetune_cfg, "--dataname", args.dataname,
-            ]
-            + (["--load_from", distill_ckpt] if distill_ckpt else [])
-        )
+        if mode == "tree" and os.path.exists(grid_npz):
+            # build the finetune trainer directly and seed its multi-network
+            # field from the distilled kd-tree grid (KiloNerfMLP.init_mlp)
+            dataset = build_dataset(fin_cfg["data"])
+            network = build_network(fin_cfg["model"])
+            tr = Trainer(
+                network,
+                dataset,
+                optimizer=fin_cfg.get("optimizer", {}),
+                work_dir=fin_cfg.get("work_dir", "./work_dirs/kilonerf/" + args.dataname),
+                max_iters=fin_cfg.get("max_iters", 150000),
+                eval_interval=fin_cfg.get("eval_interval", 0),
+                ckpt_interval=fin_cfg.get("ckpt_interval", 10000),
+                log_interval=fin_cfg.get("log_interval", 100),
+                hooks=build_hooks(fin_cfg.get("hooks")),
+                eval_chunk=fin_cfg.get("eval_chunk", 8192),
+            )
+            grid = dict(np.load(grid_npz))
+            import jax
+
+            params = dict(tr.state.params)
+            mlp = dict(params["mlp"])
+            for k, v in grid.items():
+                if k in mlp:
+                    assert mlp[k].shape == v.shape, (k, mlp[k].shape, v.shape)
+                    mlp[k] = jax.numpy.asarray(v)
+            params["mlp"] = mlp
+            tr.state = tr.state.replace(params=params)
+            tr.run()
+        else:
+            distill_ckpt = ckptmod.latest_path(dis_work)
+            run_nerf.main(
+                [
+                    "--config", args.finetune_cfg, "--dataname", args.dataname,
+                ]
+                + (["--load_from", distill_ckpt] if distill_ckpt else [])
+            )
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ def _register_all():
     """Import modules for registry side effects."""
     from .datasets import aninerf as aninerf_data  # noqa: F401
     from .datasets import bungee as bungee_data  # noqa: F401
+    from .datasets import genebody as genebody_data  # noqa: F401
     from .datasets import hashnerf as hashnerf_data  # noqa: F401
     from .datasets import kilonerf as kilonerf_data  # noqa: F401
     from .datasets import multiscale, scene  # noqa: F401
@@ -35,6 +36,7 @@ def _register_all():
     from .models.networks import (  # noqa: F401
         aninerf,
         bungeenerf,
+        gnr,
         hashnerf,
         kilonerf,
         mipnerf,

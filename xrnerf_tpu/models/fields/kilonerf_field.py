@@ -150,3 +150,41 @@ class MultiNetworkMLP(nn.Module):
             jnp.where(keep, flat_sigma[dest], -1e3)
         )
         return out_rgb, out_sigma
+
+
+class GroupedMultiMLP(nn.Module):
+    """Multi-network eval over pre-grouped examples [N_nets, E, ...].
+
+    The distill phase generates examples *per node domain*, so no MoE
+    dispatch is needed — every network sees exactly its own E examples
+    (KiloNerfNodeDataset semantics, kilonerf_node_dataset.py:74-100).
+    Parameter names match MultiNetworkMLP layer-for-layer so fitted
+    per-node weights transfer directly into the finetune field.
+    """
+
+    n_nets: int
+    hidden: int = 32
+    n_hidden_layers: int = 2
+    multires: int = 10
+    multires_dirs: int = 4
+    dtype: Any = jnp.float32
+
+    # reuse MultiNetworkMLP's batched per-net layer
+    _bmm_layer = MultiNetworkMLP._bmm_layer
+
+    @nn.compact
+    def __call__(
+        self, local_pts: jnp.ndarray, dirs: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """local_pts [N,E,3] in [-1,1], dirs [N,E,3] -> (rgb [N,E,3],
+        sigma [N,E]) — raw (pre-activation) values, like the teacher's."""
+        h = posenc(local_pts, self.multires)
+        d = posenc(dirs, self.multires_dirs)
+        for i in range(self.n_hidden_layers):
+            h = self._bmm_layer(f"hidden_{i}", h, self.hidden)
+        sigma = self._bmm_layer("sigma", h, 1, relu=False)[..., 0]
+        feat = self._bmm_layer("feature", h, self.hidden, relu=False)
+        hd = nn.relu(jnp.concatenate([feat, d], axis=-1))
+        hd = self._bmm_layer("color_hidden", hd, self.hidden)
+        rgb = self._bmm_layer("rgb", hd, 3, relu=False)
+        return rgb, sigma

@@ -31,6 +31,7 @@ class NGPField(nn.Module):
     hidden_dim: int = 64
     geo_feat_dim: int = 15
     sh_degree: int = 4
+    use_pallas: bool = False  # fused Pallas MLP kernels (ops/pallas/fused_mlp)
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -42,31 +43,69 @@ class NGPField(nn.Module):
             max_res=self.max_res,
             dtype=self.dtype,
         )
-        self.density_net = nn.Sequential(
-            [
-                nn.Dense(self.hidden_dim, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(1 + self.geo_feat_dim, dtype=self.dtype),
-            ]
-        )
-        self.color_net = nn.Sequential(
-            [
-                nn.Dense(self.hidden_dim, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(self.hidden_dim, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(3, dtype=self.dtype),
-            ]
-        )
+        if self.use_pallas:
+            init = nn.initializers.lecun_normal()
+            enc_dim = self.n_levels * self.n_features
+            sh_dim = self.sh_degree**2
+            H, G = self.hidden_dim, self.geo_feat_dim
+            mk = lambda name, shape: self.param(name, init, shape)  # noqa: E731
+            zeros = nn.initializers.zeros
+            self.d_w1 = mk("d_w1", (enc_dim, H))
+            self.d_b1 = self.param("d_b1", zeros, (H,))
+            self.d_w2 = mk("d_w2", (H, 1 + G))
+            self.d_b2 = self.param("d_b2", zeros, (1 + G,))
+            self.c_w1 = mk("c_w1", (G + sh_dim, H))
+            self.c_b1 = self.param("c_b1", zeros, (H,))
+            self.c_w2 = mk("c_w2", (H, H))
+            self.c_b2 = self.param("c_b2", zeros, (H,))
+            self.c_w3 = mk("c_w3", (H, 3))
+            self.c_b3 = self.param("c_b3", zeros, (3,))
+        else:
+            self.density_net = nn.Sequential(
+                [
+                    nn.Dense(self.hidden_dim, dtype=self.dtype),
+                    nn.relu,
+                    nn.Dense(1 + self.geo_feat_dim, dtype=self.dtype),
+                ]
+            )
+            self.color_net = nn.Sequential(
+                [
+                    nn.Dense(self.hidden_dim, dtype=self.dtype),
+                    nn.relu,
+                    nn.Dense(self.hidden_dim, dtype=self.dtype),
+                    nn.relu,
+                    nn.Dense(3, dtype=self.dtype),
+                ]
+            )
 
     def density(self, pts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """pts [..., 3] in [0,1]^3 -> (raw_sigma [...], geo_feat [..., G])."""
-        h = self.density_net(self.encoding(pts))
+        enc = self.encoding(pts)
+        if self.use_pallas:
+            from ...ops.pallas.fused_mlp import fused_mlp2
+
+            lead = enc.shape[:-1]
+            h = fused_mlp2(
+                enc.reshape(-1, enc.shape[-1]).astype(jnp.float32),
+                self.d_w1, self.d_b1, self.d_w2, self.d_b2,
+            ).reshape(*lead, 1 + self.geo_feat_dim)
+        else:
+            h = self.density_net(enc)
         return h[..., 0].astype(jnp.float32), h[..., 1:]
 
     def __call__(self, pts: jnp.ndarray, dirs: jnp.ndarray):
         """pts [..., 3], unit dirs [..., 3] -> (raw_rgb [..., 3], raw_sigma)."""
         raw_sigma, geo = self.density(pts)
         sh = sh_encode(dirs, self.sh_degree).astype(self.dtype)
-        raw_rgb = self.color_net(jnp.concatenate([geo, sh], axis=-1))
+        cin = jnp.concatenate([geo.astype(self.dtype), sh], axis=-1)
+        if self.use_pallas:
+            from ...ops.pallas.fused_mlp import fused_mlp3
+
+            lead = cin.shape[:-1]
+            raw_rgb = fused_mlp3(
+                cin.reshape(-1, cin.shape[-1]).astype(jnp.float32),
+                self.c_w1, self.c_b1, self.c_w2, self.c_b2, self.c_w3, self.c_b3,
+            ).reshape(*lead, 3)
+        else:
+            raw_rgb = self.color_net(cin)
         return raw_rgb.astype(jnp.float32), raw_sigma
