@@ -72,3 +72,59 @@ def test_checkpoint_roundtrip(tmp_path):
     # keep=1 cleanup
     ckpt.save(str(tmp_path), 8, state, keep=1)
     assert ckpt.all_steps(str(tmp_path)) == [8]
+
+
+def test_lpips_fake_weights(tmp_path):
+    """LPIPS runs against any VGG16-features-shaped state dict; zero for
+    identical images, positive for different ones."""
+    import torch
+
+    from xrnerf_tpu.utils.metrics import LPIPS
+
+    sd = {}
+    cin = 3
+    for i, co in enumerate([8, 8, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16]):
+        sd[f"features.{i}.weight"] = torch.randn(co, cin, 3, 3) * 0.05
+        sd[f"features.{i}.bias"] = torch.zeros(co)
+        cin = co
+    path = str(tmp_path / "vgg.pth")
+    torch.save(sd, path)
+    lp = LPIPS(path)
+    rng = np.random.RandomState(0)
+    a = rng.rand(32, 32, 3).astype(np.float32)
+    b = rng.rand(32, 32, 3).astype(np.float32)
+    assert lp(a, a) < 1e-8
+    assert lp(a, b) > 0
+
+
+def test_batch_prefetcher_order_and_close():
+    from xrnerf_tpu.core.prefetch import BatchPrefetcher
+
+    fetched = []
+    pf = BatchPrefetcher(
+        fetch=lambda s: {"step": s},
+        put=lambda b: {**b, "staged": True},
+        start_step=3,
+        max_steps=8,
+    )
+    for s in range(3, 8):
+        b = pf.get(s)
+        assert b["step"] == s and b["staged"]
+    pf.close()
+
+
+def test_batch_prefetcher_propagates_errors():
+    from xrnerf_tpu.core.prefetch import BatchPrefetcher
+
+    def bad_fetch(s):
+        if s == 1:
+            raise RuntimeError("boom")
+        return {}
+
+    pf = BatchPrefetcher(bad_fetch, lambda b: b, 0, 5)
+    pf.get(0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        pf.get(1)
+    pf.close()

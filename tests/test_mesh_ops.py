@@ -87,3 +87,51 @@ def test_mesh_searcher_api():
     np.testing.assert_allclose(np.asarray(best)[0], [0, 0, 1], atol=1e-5)
     s = np.asarray(ms.inside_mesh(np.array([[0, 0, 0.0], [0, 0, 3.0]], np.float32)))
     assert s[0] == 1.0 and s[1] == -1.0
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) uniform-grid searcher vs the jnp reference implementation
+# ---------------------------------------------------------------------------
+def test_native_mesh_searcher_matches_jnp():
+    from xrnerf_tpu.native.mesh_grid_searcher import NativeMeshSearcher
+
+    v, f = make_cube()
+    ms = NativeMeshSearcher(v, f)
+    assert ms.native, "native mesh_grid library failed to build"
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-2.5, 2.5, (200, 3)).astype(np.float32)
+
+    best_n, idx_n = ms.nearest_points(pts)
+    best_j, idx_j, dist_j = nearest_points(pts, v, f, chunk=256)
+    # closest points must agree (face index may differ on edges/corners)
+    np.testing.assert_allclose(best_n, np.asarray(best_j), atol=1e-4)
+
+    s_n = ms.inside_mesh(pts)
+    s_j = np.asarray(inside_mesh(pts, v, f, chunk=256))
+    np.testing.assert_array_equal(s_n, s_j)
+
+    o = rng.uniform(-3, 3, (100, 3)).astype(np.float32)
+    o[np.all(np.abs(o) < 1.2, axis=1)] += 3.0  # keep origins outside
+    d = rng.randn(100, 3).astype(np.float32)
+    hit_n = ms.intersects(o, d)
+    hit_j = np.asarray(ray_mesh_hit(o, d, v, f, chunk=128))
+    assert (hit_n == hit_j).mean() > 0.98  # stepping walk can graze edges
+
+
+def test_native_mesh_searcher_sphere():
+    from xrnerf_tpu.datasets.load.synthetic import make_icosphere
+    from xrnerf_tpu.native.mesh_grid_searcher import NativeMeshSearcher
+
+    v, f = make_icosphere(2, 1.0)
+    ms = NativeMeshSearcher(v, f)
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(-1.5, 1.5, (100, 3)).astype(np.float32)
+    best, idx = ms.nearest_points(pts)
+    # nearest point on a unit sphere mesh is ~radially inward
+    r = np.linalg.norm(best, axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=0.08)  # subdiv-2 chords dip to ~0.94
+    inside = ms.inside_mesh(pts)
+    gt = np.where(np.linalg.norm(pts, axis=-1) < 0.98, 1.0, -1.0)
+    sure = np.abs(np.linalg.norm(pts, axis=-1) - 1.0) > 0.05
+    assert (inside[sure] == gt[sure]).all()

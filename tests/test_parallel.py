@@ -77,3 +77,49 @@ def test_graft_dryrun_multichip():
     fn, (params, batch) = mod.entry()
     out = jax.jit(fn)(params, batch)
     assert out.shape == (256, 3)
+
+
+def test_kilonerf_expert_parallel_sharding():
+    """KiloNeRF's multi-network stacks shard their n_nets dim on the model
+    axis and a full train step runs under the 2x model mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from xrnerf_tpu.models.networks.kilonerf import KiloNerfNetwork
+    from xrnerf_tpu.parallel.mesh import make_mesh
+    from xrnerf_tpu.core.trainer import Trainer
+
+    class _DS:
+        N_rand = 32
+
+        def train_batch(self, step, host_id=0, num_hosts=1):
+            rng = np.random.RandomState(step)
+            d = rng.randn(32, 3).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            return {
+                "rays_o": rng.randn(32, 3).astype(np.float32) * 0.1,
+                "rays_d": d,
+                "near": np.full((32, 1), 0.1, np.float32),
+                "far": np.full((32, 1), 2.0, np.float32),
+                "target": rng.rand(32, 3).astype(np.float32),
+            }
+
+    mesh = make_mesh(n_model=2)
+    assert mesh.shape["model"] == 2
+    net = KiloNerfNetwork(
+        resolution=(4, 4, 4), hidden=8, n_hidden_layers=1, multires=2,
+        multires_dirs=2, n_samples=8, capacity_factor=4.0,
+    )
+    import tempfile
+
+    tr = Trainer(net, _DS(), optimizer={"lr": 1e-3}, work_dir=tempfile.mkdtemp(),
+                 max_iters=2, ckpt_interval=0, log_interval=10, mesh=mesh)
+    w = tr.state.params["mlp"]["hidden_0_w"]
+    spec = w.sharding.spec
+    assert spec and spec[0] == "model", spec
+    # adam moments follow the same sharding (no per-step resharding)
+    mu = tr.state.opt_state[0].mu["mlp"]["hidden_0_w"]
+    assert mu.sharding.spec == w.sharding.spec
+    tr.run()  # two steps execute without resharding errors

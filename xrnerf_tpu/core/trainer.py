@@ -194,7 +194,26 @@ class Trainer:
         if mesh is not None:
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._repl_sharding = NamedSharding(mesh, P())
-            self.state = jax.device_put(self.state, self._repl_sharding)
+            # Model-axis parameter sharding: networks may expose
+            # ``param_spec(path) -> PartitionSpec | None`` (KiloNeRF shards
+            # its expert grid, NGP its hash table). The spec is applied by
+            # PATH SUFFIX over the whole TrainState so optimizer moments
+            # (optax mirrors the params tree) land on the same shards —
+            # otherwise every adam update would reshard.
+            param_spec = getattr(network, "param_spec", None)
+            if param_spec is not None and mesh.shape.get("model", 1) > 1:
+
+                def _place(path, leaf):
+                    keys = tuple(
+                        str(getattr(p, "key", getattr(p, "name", p))) for p in path
+                    )
+                    spec = param_spec(keys) if hasattr(leaf, "ndim") else None
+                    sh = NamedSharding(mesh, spec) if spec is not None else self._repl_sharding
+                    return jax.device_put(leaf, sh)
+
+                self.state = jax.tree_util.tree_map_with_path(_place, self.state)
+            else:
+                self.state = jax.device_put(self.state, self._repl_sharding)
         else:
             self._batch_sharding = None
             self._repl_sharding = None
@@ -292,6 +311,15 @@ class Trainer:
         t_window = time.perf_counter()
         rays_per_step = self.dataset.N_rand * num_hosts
 
+        from .prefetch import BatchPrefetcher
+
+        prefetcher = BatchPrefetcher(
+            fetch=lambda s: self.dataset.train_batch(s, host_id, num_hosts),
+            put=self._put_batch,
+            start_step=self.start_step,
+            max_steps=self.max_iters,
+        )
+
         step = self.start_step
         while step < self.max_iters and not self._stop:
             if self._aux_update is not None and step % self.aux_interval == 0:
@@ -303,7 +331,7 @@ class Trainer:
                     jnp.asarray(step),
                     jax.random.fold_in(self.base_rng, 2**31 + step),
                 )
-            batch = self._put_batch(self.dataset.train_batch(step, host_id, num_hosts))
+            batch = prefetcher.get(step)
             rng = jax.random.fold_in(self.base_rng, step)
             self.state, logs = self._train_step(self.state, batch, rng, self.aux)
             if self.ema_params is not None:
@@ -340,6 +368,7 @@ class Trainer:
             if self.ckpt_interval and step % self.ckpt_interval == 0:
                 ckpt.save(self.work_dir, step, {"state": self.state, "aux": self.aux})
 
+        prefetcher.close()
         if self.ckpt_interval:
             ckpt.save(self.work_dir, step, {"state": self.state, "aux": self.aux})
         for h in self.hooks:

@@ -73,6 +73,17 @@ class HashNerfNetwork(BaseNetwork):
             dtype=self.dtype,
         )
 
+    def param_spec(self, path):
+        """Shard the hash table's bucket dim on the model axis: [L, T, F]
+        -> P(None, 'model'). Gradients are gather-transposed scatter-adds,
+        which GSPMD keeps shard-local on the bucket dim (SURVEY §2.6's
+        'model sharding of the hash table' gap in the reference)."""
+        if path[-1] == "table":
+            import jax as _jax
+
+            return _jax.sharding.PartitionSpec(None, "model")
+        return None
+
     def density(self, pts: jnp.ndarray) -> jnp.ndarray:
         """Post-activation density at [..., 3] grid-coord points (the
         reference's ``run_density`` used for grid updates)."""

@@ -112,6 +112,15 @@ class KiloNerfNetwork(BaseNetwork):
             return jnp.asarray(np.load(self.occupancy_path))
         return None
 
+    def param_spec(self, path: Tuple[str, ...]):
+        """Expert parallelism: the multi-network weight stacks [n_nets, ...]
+        shard their leading (network) dim on the mesh's model axis (SURVEY
+        §2.6 — the reference evaluates all networks on one GPU via MAGMA
+        grouped GEMM; here the spatial MoE spans chips)."""
+        if "mlp" in path and (path[-1].endswith("_w") or path[-1].endswith("_b")):
+            return jax.sharding.PartitionSpec("model")
+        return None
+
     def loss(self, outputs, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         mse = img2mse(outputs["rgb"], batch["target"])
         return mse, {"loss": mse, "mse": mse, "psnr": mse2psnr(mse)}

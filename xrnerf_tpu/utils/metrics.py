@@ -97,3 +97,74 @@ def ssim(
     return jnp.mean(
         _ssim_components(img0, img1, max_val, filter_size, filter_sigma, k1, k2)
     )
+
+
+class LPIPS:
+    """Learned perceptual metric (GNR evaluation; reference:
+    ``xrnerf/models/networks/utils/gnr.py:66-120`` wraps lpips.LPIPS).
+
+    This environment has no torchvision/pretrained VGG and no network
+    egress, so construction requires an explicit ``weights_path`` to a
+    torch state dict holding ``vgg16.features`` conv weights (and
+    optionally per-layer ``lin{i}.weight`` LPIPS calibrations). Without
+    weights the class raises at init — callers gate on availability.
+    """
+
+    _SLICES = ((0, 4), (4, 9), (9, 16), (16, 23), (23, 30))
+
+    def __init__(self, weights_path: str):
+        import torch
+
+        self._torch = torch
+        sd = torch.load(weights_path, map_location="cpu")
+        self.convs = {k: v.float() for k, v in sd.items() if k.endswith("weight") and v.ndim == 4}
+        self.biases = {k: v.float() for k, v in sd.items() if k.endswith("bias")}
+        self.lins = {k: v.float() for k, v in sd.items() if "lin" in k}
+        if not self.convs:
+            raise ValueError(f"no conv weights found in {weights_path}")
+
+    def __call__(self, pred: np.ndarray, target: np.ndarray) -> float:
+        """pred/target [H, W, 3] in [0,1] -> scalar LPIPS distance."""
+        torch = self._torch
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+        import re
+
+        def _key_num(k):
+            m = re.search(r"(\d+)", k)
+            return int(m.group(1)) if m else 0
+
+        # VGG16 features: 2/2/3/3/3 convs per LPIPS slice
+        slice_ends = (2, 4, 7, 10, 13)
+
+        def feats(img):
+            x = torch.from_numpy(np.ascontiguousarray(img)).float()
+            x = x.permute(2, 0, 1)[None]
+            x = (x - mean) / std
+            outs = []
+            conv_items = sorted(self.convs.items(), key=lambda kv: _key_num(kv[0]))
+            ci = 0
+            with torch.no_grad():
+                for end in slice_ends:
+                    while ci < min(end, len(conv_items)):
+                        k, w = conv_items[ci]
+                        b = self.biases.get(k.replace("weight", "bias"))
+                        x = torch.nn.functional.conv2d(x, w, b, padding=1)
+                        x = torch.relu(x)
+                        ci += 1
+                    outs.append(x / (x.norm(dim=1, keepdim=True) + 1e-10))
+                    x = torch.nn.functional.max_pool2d(x, 2)
+            return outs
+
+        fa, fb = feats(pred), feats(target)
+        d = 0.0
+        for i, (a, b) in enumerate(zip(fa, fb)):
+            diff = (a - b) ** 2
+            lin = self.lins.get(f"lin{i}.weight")
+            if lin is not None:
+                diff = diff * lin.view(1, -1, 1, 1).abs()
+                d += float(diff.sum(dim=1).mean())
+            else:
+                d += float(diff.mean())
+        return d
