@@ -148,3 +148,27 @@ def test_ema_params(synthetic_scene, tmp_path):
     w_ema = jax.tree_util.tree_leaves(tr.ema_params)[0]
     w_raw = jax.tree_util.tree_leaves(tr.state.params)[0]
     assert not np.allclose(np.asarray(w_ema), np.asarray(w_raw))
+
+
+def test_profile_hook(tmp_path, synthetic_scene):
+    from xrnerf_tpu.core.hooks import ProfileHook
+    from xrnerf_tpu.core.trainer import Trainer
+    from xrnerf_tpu.registry import build_dataset, build_network
+
+    ds = build_dataset(
+        dict(type="SceneDataset", datadir=synthetic_scene, N_rand=32, testskip=1)
+    )
+    net = build_network(
+        dict(type="NerfNetwork", n_samples=4, n_importance=0, netdepth=2,
+             netwidth=16, multires=2, multires_dirs=2)
+    )
+    tr = Trainer(
+        net, ds, optimizer={"lr": 1e-3}, work_dir=str(tmp_path), max_iters=5,
+        ckpt_interval=0, log_interval=100,
+        hooks=[ProfileHook(start_step=2, num_steps=2)],
+    )
+    tr.run()
+    import os
+
+    prof = os.path.join(str(tmp_path), "profile")
+    assert os.path.isdir(prof) and len(os.listdir(prof)) > 0

@@ -203,3 +203,39 @@ class ElapsedTimeHook(Hook):
             times = times[1:]  # drop warmup/compile
         get_logger().info("[eval %d] render %.1f ms/frame", step, float(np.mean(times)))
         tr.eval_metrics = {**getattr(tr, "eval_metrics", {}), "ms_per_frame": float(np.mean(times))}
+
+
+@HOOKS.register
+class ProfileHook(Hook):
+    """Capture a jax.profiler trace for a step window (the reference has
+    no profiling at all — SURVEY §5; here step-time/rays/s plus an XLA
+    trace are first-class). View with TensorBoard or Perfetto."""
+
+    def __init__(self, start_step: int = 50, num_steps: int = 5, logdir: str = ""):
+        self.start_step = start_step
+        self.num_steps = num_steps
+        self.logdir = logdir
+        self._active = False
+
+    def after_step(self, tr: "Trainer", step: int, logs) -> None:
+        import jax
+
+        if step == self.start_step and not self._active:
+            logdir = self.logdir or os.path.join(tr.work_dir, "profile")
+            os.makedirs(logdir, exist_ok=True)
+            jax.profiler.start_trace(logdir)
+            self._active = True
+        elif self._active and step >= self.start_step + self.num_steps:
+            jax.block_until_ready(tr.state.params)
+            jax.profiler.stop_trace()
+            self._active = False
+            get_logger().info(
+                "[profile] trace for steps %d-%d written", self.start_step, step
+            )
+
+    def on_run_end(self, tr: "Trainer") -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
