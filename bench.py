@@ -2,12 +2,23 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Current flagship: full-size vanilla NeRF (8x256 MLP, 64 coarse + 128 fine
+Flagship: full-size vanilla NeRF (8x256 MLP, 64 coarse + 128 fine
 samples, posenc 10/4) — the reference's nerf_blender_base01 config. The
 reference publishes no training-throughput numbers (SURVEY §6), so
 ``vs_baseline`` normalizes against REF_RAYS_S = 20_000 rays/s, a
 representative figure for the PyTorch reference's single-GPU vanilla-NeRF
 training loop on a datacenter GPU of its era (CUDA 11.1, benchmark.md env).
+
+Measurement notes:
+  - K train steps are fused into ONE jitted ``lax.scan`` dispatch
+    (step-fusion): on relay-attached accelerators each dispatch pays a
+    large fixed round-trip, and even locally this removes host
+    involvement from the inner loop. Distinct pre-staged batches feed
+    each scanned step, so this measures real training, not replay.
+  - completion is forced by fetching the final loss value (device_get);
+    ``block_until_ready`` alone can acknowledge before remote execution
+    drains on relayed PJRT transports, inflating rays/s past the chip's
+    FLOP roofline.
 """
 
 import json
@@ -17,8 +28,22 @@ import numpy as np
 
 REF_RAYS_S = 20_000.0
 BATCH = 4096
-WARMUP = 3
-ITERS = 20
+STEPS_PER_CALL = 10
+WARMUP_CALLS = 2
+CALLS = 5
+
+
+def _batches(n_steps, batch, seed=0):
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n_steps, batch, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "rays_o": rng.randn(n_steps, batch, 3).astype(np.float32),
+        "rays_d": d,
+        "near": np.full((n_steps, batch, 1), 2.0, np.float32),
+        "far": np.full((n_steps, batch, 1), 6.0, np.float32),
+        "target": rng.rand(n_steps, batch, 3).astype(np.float32),
+    }
 
 
 def main():
@@ -28,46 +53,51 @@ def main():
 
     from xrnerf_tpu.models.networks.nerf import NerfNetwork
 
-    rng = np.random.RandomState(0)
-    d = rng.randn(BATCH, 3).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    batch = {
-        "rays_o": jnp.asarray(rng.randn(BATCH, 3).astype(np.float32)),
-        "rays_d": jnp.asarray(d),
-        "near": jnp.full((BATCH, 1), 2.0, jnp.float32),
-        "far": jnp.full((BATCH, 1), 6.0, jnp.float32),
-        "target": jnp.asarray(rng.rand(BATCH, 3).astype(np.float32)),
-    }
+    batches = {k: jnp.asarray(v) for k, v in _batches(STEPS_PER_CALL, BATCH).items()}
+    one = {k: v[0] for k, v in batches.items()}
 
     net = NerfNetwork(n_samples=64, n_importance=128, netdepth=8, netwidth=256)
-    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False)["params"]
+    params = net.init(jax.random.PRNGKey(0), one, rng=None, train=False)["params"]
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, batch, key):
-        def lf(p):
-            out = net.apply({"params": p}, batch, rng=key, train=True)
-            return net.loss(out, batch)[0]
+    def run_steps(params, opt_state, batches, key):
+        def body(carry, xs):
+            params, opt_state = carry
+            batch, k = xs
 
-        loss, g = jax.value_and_grad(lf)(params)
-        upd, opt_state2 = tx.update(g, opt_state)
-        return optax.apply_updates(params, upd), opt_state2, loss
+            def lf(p):
+                out = net.apply({"params": p}, batch, rng=k, train=True)
+                return net.loss(out, batch)[0]
+
+            loss, g = jax.value_and_grad(lf)(params)
+            upd, opt_state2 = tx.update(g, opt_state)
+            return (optax.apply_updates(params, upd), opt_state2), loss
+
+        keys = jax.random.split(key, STEPS_PER_CALL)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, keys)
+        )
+        return params, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(0)
-    for i in range(WARMUP):
-        params, opt_state, loss = step(params, opt_state, batch, jax.random.fold_in(key, i))
-    loss.block_until_ready()
+    for i in range(WARMUP_CALLS):
+        params, opt_state, loss = run_steps(
+            params, opt_state, batches, jax.random.fold_in(key, i)
+        )
+    float(loss)
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        params, opt_state, loss = step(
-            params, opt_state, batch, jax.random.fold_in(key, WARMUP + i)
+    for i in range(CALLS):
+        params, opt_state, loss = run_steps(
+            params, opt_state, batches, jax.random.fold_in(key, 100 + i)
         )
-    loss.block_until_ready()
+    final_loss = float(loss)  # forces real completion of the whole chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
-    rays_s = BATCH * ITERS / dt
+    rays_s = BATCH * STEPS_PER_CALL * CALLS / dt
     print(
         json.dumps(
             {

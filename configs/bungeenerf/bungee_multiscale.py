@@ -25,6 +25,9 @@ model = dict(
 data = dict(
     type="BungeeDataset",
     datadir="data/multiscale_google/#DATANAME#",
+    dataset_type="google",  # real google-earth layout (poses_enu.json)
+    factor=3,
+    holdout=16,
     n_stages=4,
     iters_per_stage=50000,
     N_rand=1024,

@@ -1,6 +1,8 @@
 """BungeeNeRF tests: progressive MLP shapes, stage-masked compositing and
 loss, dataset scale codes + curriculum stage."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,3 +96,46 @@ def test_bungee_dataset(synthetic_scene):
     assert int(ds.train_batch(1000)["stage"]) == 1  # clamped to last stage
     rays, gt = ds.eval_item(int(ds.i_val[0]))
     assert gt.shape[2] == 3 and rays["radii"].shape[0] == gt.shape[0] * gt.shape[1]
+
+
+def test_bungee_google_layout(tmp_path):
+    """BungeeDataset over the real multiscale-google layout: stage codes
+    come from scale_split, holdout split, pooled rays with radii."""
+    import json
+
+    import imageio.v2 as imageio
+
+    d = tmp_path / "google"
+    os.makedirs(d / "images")
+    rng = np.random.RandomState(0)
+    n = 8
+    for i in range(n):
+        imageio.imwrite(
+            str(d / "images" / f"{i:03d}.png"),
+            rng.randint(0, 255, (16, 16, 3)).astype(np.uint8),
+        )
+    poses = []
+    for i in range(n):
+        p = np.concatenate([np.eye(3, 4), [[16], [16], [12.0]]], axis=1)
+        poses.append(np.concatenate([p.reshape(-1), [0, 0]]))
+    meta = {
+        "poses": [p.tolist() for p in poses],
+        "scene_scale": 1.0,
+        "scene_origin": [0, 0, 0],
+        "scale_split": [0, 4, 6],
+    }
+    with open(d / "poses_enu.json", "w") as fh:
+        json.dump(meta, fh)
+
+    from xrnerf_tpu.datasets.bungee import BungeeDataset
+
+    ds = BungeeDataset(str(d), dataset_type="google", factor=2, N_rand=16,
+                       holdout=4, iters_per_stage=10)
+    assert ds.n_stages == 3
+    np.testing.assert_array_equal(ds.scale_codes, [0, 0, 0, 0, 1, 1, 2, 2])
+    b = ds.train_batch(0)
+    assert b["rays_o"].shape == (16, 3)
+    assert b["radii"].shape == (16, 1)
+    assert int(b["stage"]) == 0
+    b2 = ds.train_batch(25)
+    assert int(b2["stage"]) == 2

@@ -33,6 +33,7 @@ class BungeeDataset:
     def __init__(
         self,
         datadir: str,
+        dataset_type: str = "blender",  # or "google" (mutiscale_google)
         n_stages: int = 4,
         iters_per_stage: int = 50000,
         white_bkgd: bool = False,
@@ -40,6 +41,8 @@ class BungeeDataset:
         testskip: int = 1,
         near: float = 2.0,
         far: float = 6.0,
+        factor: int = 3,
+        holdout: int = 16,
         seed: int = 0,
     ):
         self.N_rand = int(N_rand)
@@ -48,9 +51,31 @@ class BungeeDataset:
         self.near, self.far = float(near), float(far)
         self.seed = seed
 
-        imgs, poses, render_poses, hwf, i_split = load_blender_data(
-            datadir, half_res=False, testskip=testskip
-        )
+        scale_split = None
+        if dataset_type == "google":
+            # the real google-earth layout: scale_split marks where each
+            # progressive stage's (farther) cameras begin (load.py:145-173)
+            from .load.google import load_google_data
+
+            imgs, gposes, scene_scale, scene_origin, scale_split = load_google_data(
+                datadir, factor=factor
+            )
+            imgs = imgs[..., :4]
+            hwf = [int(gposes[0, 0, 4]), int(gposes[0, 1, 4]), float(gposes[0, 2, 4])]
+            poses4 = np.broadcast_to(
+                np.eye(4, dtype=np.float32), (len(gposes), 4, 4)
+            ).copy()
+            poses4[:, :3, :4] = gposes[:, :3, :4]
+            poses = poses4
+            i_test = np.arange(len(imgs))[:: max(holdout, 1)]
+            i_train = np.asarray([i for i in range(len(imgs)) if i not in set(i_test)])
+            i_split = [i_train, i_test, i_test]
+            render_poses = poses[i_test]
+            self.scene_scale, self.scene_origin = scene_scale, scene_origin
+        else:
+            imgs, poses, render_poses, hwf, i_split = load_blender_data(
+                datadir, half_res=False, testskip=testskip
+            )
         self.imgs = (
             apply_white_bkgd(imgs) if white_bkgd else imgs[..., :3]
         ).astype(np.float32)
@@ -61,11 +86,22 @@ class BungeeDataset:
         self.K = intrinsics_from_hwf(self.H, self.W, self.focal)
         self.i_train, self.i_val, self.i_test = [np.asarray(s) for s in i_split]
 
-        # per-image scale codes from camera distance quantiles (far -> 0)
-        center = poses[self.i_train, :3, 3].mean(0)
-        dists = np.linalg.norm(poses[:, :3, 3] - center, axis=-1)
-        qs = np.quantile(dists[self.i_train], np.linspace(1, 0, n_stages + 1)[1:-1])
-        self.scale_codes = np.digitize(-dists, np.sort(-qs)).astype(np.int32)
+        if scale_split is not None:
+            # images are ordered far->near; scale_split[s] is stage s's
+            # first index (load_rays_bungee semantics)
+            n_stages = max(n_stages, len(scale_split))
+            self.n_stages = len(scale_split)
+            self.scale_codes = np.zeros(len(self.imgs), np.int32)
+            for s, start in enumerate(scale_split):
+                self.scale_codes[start:] = s
+        else:
+            # per-image scale codes from camera distance quantiles (far -> 0)
+            center = poses[self.i_train, :3, 3].mean(0)
+            dists = np.linalg.norm(poses[:, :3, 3] - center, axis=-1)
+            qs = np.quantile(
+                dists[self.i_train], np.linspace(1, 0, n_stages + 1)[1:-1]
+            )
+            self.scale_codes = np.digitize(-dists, np.sort(-qs)).astype(np.int32)
 
         # pooled train rays with radii + scale codes
         chunks = {k: [] for k in ("rays_o", "rays_d", "target", "radii", "scale_code")}
