@@ -262,3 +262,28 @@ def test_genebody_spiral(gb_arrays):
     assert rays["rays_s"].shape == (H * W, 3)
     # novel camera's near/far in the query persp slot
     assert rays["ctx_persps"].shape[0] == 5
+
+
+def test_gnr_vh_compaction_matches_full(gb_arrays):
+    """With a budget covering every hull point, sort-compaction must
+    reproduce the uncompacted render."""
+    ds = GeneBodyDataset(arrays=gb_arrays, num_views=4, input_views=(0, 1, 2, 3), N_rand=8)
+    batch = {k: jnp.asarray(v) for k, v in ds.train_batch(0).items()}
+    net_full = _tiny_gnr()
+    params = net_full.init(jax.random.PRNGKey(0), batch, rng=None, train=False)["params"]
+    out_full = net_full.apply({"params": params}, batch, rng=None, train=False)
+
+    net_c = GnrNetwork(
+        num_views=4, n_samples=8, load_size=32, num_stack=1, num_hourglass=1,
+        hourglass_dim=8, mlp_depth=3, mlp_width=16, skips=(1,), mesh_chunk=128,
+        vh_compact_frac=0.75,
+    )
+    out_c = net_c.apply({"params": params}, batch, rng=None, train=False)
+    # rays through the sphere keep <75% of samples in-hull here, so the
+    # budget is loose and results must match bitwise-closely
+    np.testing.assert_allclose(
+        np.asarray(out_c["rgb"]), np.asarray(out_full["rgb"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c["acc"]), np.asarray(out_full["acc"]), atol=1e-4
+    )

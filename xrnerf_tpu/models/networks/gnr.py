@@ -55,6 +55,9 @@ class GnrNetwork(BaseNetwork):
     use_occlusion: bool = True
     use_occlusion_net: bool = False
     use_vh: bool = True
+    vh_compact_frac: float = 0.0  # >0: evaluate only this fraction of
+    # points, hull-first (sort-compaction; the reference compacts
+    # dynamically with pts[inside] — here the budget is static)
     use_white_bkgd: bool = False
     use_viewdirs: bool = True
     train_encoder: bool = False
@@ -143,6 +146,21 @@ class GnrNetwork(BaseNetwork):
                 self.load_size, self.load_size,
             )
 
+        # Optional sort-compaction: spend MLP/mesh-query FLOPs only on a
+        # static budget of points, hull hits first. Dropped points read
+        # back sigma=-1e4 like hull misses.
+        restore = None
+        if keep is not None and 0.0 < self.vh_compact_frac < 1.0:
+            budget = max(int(P * self.vh_compact_frac), 1)
+            order = jnp.argsort(~keep)  # hull hits first (stable)
+            sel = order[:budget]
+            restore = (order, sel, P)
+            flat = flat[sel]
+            keep = keep[sel]
+            if viewdirs is not None:
+                viewdirs = viewdirs[sel]
+            P = budget
+
         # attention directions: query dir first, then dirs to source cams
         attdirs = None
         if self.use_attention and viewdirs is not None:
@@ -210,6 +228,19 @@ class GnrNetwork(BaseNetwork):
             smpl_vis=smpl_vis,
             alpha_only=alpha_only,
         )
+        if restore is not None:
+            order, sel, full_p = restore
+
+            def scatter(x, fill=0.0):
+                out = jnp.full((full_p,) + x.shape[1:], fill, x.dtype)
+                return out.at[sel].set(x)
+
+            mlp_out = {
+                k: scatter(v, -1e4 if k == "sigma_raw" else 0.0)
+                for k, v in mlp_out.items()
+            }
+            src_rgb = jnp.swapaxes(scatter(jnp.swapaxes(src_rgb, 0, 1)), 0, 1)
+            keep = scatter(keep.astype(jnp.float32)) > 0.5
         return mlp_out, src_rgb, keep
 
     def query_density(self, batch, pts):
