@@ -43,6 +43,9 @@ class NerfNetwork(BaseNetwork):
     perturb: bool = True
     coarse_loss_weight: float = 1.0
     dtype: Any = jnp.float32
+    # Route both MLPs through the fused Pallas trunk kernel (bf16 MXU,
+    # f32 accumulate; ops/pallas/fused_nerf_mlp.py). Same param tree.
+    fused: bool = False
 
     def _eval_mlp(self, mlp, pts, viewdirs):
         """Encode + run MLP over [N, S, 3] pts with per-ray viewdirs [N, 3]."""
@@ -61,6 +64,7 @@ class NerfNetwork(BaseNetwork):
             netwidth=self.netwidth,
             use_viewdirs=self.use_viewdirs,
             dtype=self.dtype,
+            fused=self.fused,
         )
         if self.n_importance > 0:
             self.mlp_fine = NerfMLP(
@@ -68,6 +72,7 @@ class NerfNetwork(BaseNetwork):
                 netwidth=self.netwidth,
                 use_viewdirs=self.use_viewdirs,
                 dtype=self.dtype,
+                fused=self.fused,
             )
 
     def __call__(
