@@ -92,3 +92,19 @@ def test_volume_render_analytic():
 def test_exclusive_cumprod():
     x = jnp.asarray([[2.0, 3.0, 4.0]])
     np.testing.assert_allclose(exclusive_cumprod(x)[0], [1.0, 2.0, 6.0])
+
+
+def test_posenc_fast_matches_exact():
+    """posenc_fast (poly sin/cos) must agree with exact posenc to well
+    under bf16 resolution at the L=10 points / L=4 dirs configs."""
+    import numpy as np
+    from xrnerf_tpu.models.embedders.posenc import posenc, posenc_fast
+
+    rng = np.random.RandomState(0)
+    # points span the blender scene box and beyond
+    x = jnp.asarray(rng.uniform(-4.0, 4.0, size=(4096, 3)).astype(np.float32))
+    for L in (10, 4):
+        a = posenc(x, L)
+        b = posenc_fast(x, L)
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 2e-3, err  # bf16 eps is 7.8e-3

@@ -34,5 +34,55 @@ def posenc(x: jnp.ndarray, num_freqs: int, include_input: bool = True) -> jnp.nd
     return enc
 
 
+# Degree-7 odd minimax polynomial for sin(θ) on [-π, π]: max abs error
+# 6.6e-4, far below bf16 resolution (eps ≈ 7.8e-3).
+_SIN_C = (0.9994499860234528, -0.16583822106984671,
+          0.00799852029939121, -0.00014773645626373042)
+_INV_2PI = 0.15915494309189535
+_TWO_PI = 6.283185307179586
+
+
+def _sin_2pi(t: jnp.ndarray) -> jnp.ndarray:
+    """sin(2π·t): range-reduce t to [-0.5, 0.5] (one round) + degree-7 poly."""
+    t = t - jnp.round(t)
+    th = t * jnp.asarray(_TWO_PI, t.dtype)
+    t2 = th * th
+    c0, c1, c2, c3 = (jnp.asarray(c, t.dtype) for c in _SIN_C)
+    return th * (c0 + t2 * (c1 + t2 * (c2 + t2 * c3)))
+
+
+def posenc_fast(
+    x: jnp.ndarray, num_freqs: int, include_input: bool = True
+) -> jnp.ndarray:
+    """posenc with cheap polynomial sin/cos — bf16-accuracy, ~3x faster.
+
+    Same array structure as :func:`posenc` (one [..., L, D] broadcast, two
+    wide elementwise evaluations, stack+reshape) — structure matters: a
+    per-level recurrence builds the encoding from 2L narrow [N, D] pieces
+    whose lane-relayout cost on TPU dwarfs the transcendental savings. Here
+    only the per-element op changes: XLA's ``sin``/``cos`` (generic range
+    reduction — the octave arguments reach 2^{L-1}·|x| rad) are replaced by
+    turn-based reduction (one ``round``) plus a degree-7 odd polynomial;
+    cos(θ) = sin(2π(t+1/4)) reuses the same path.
+
+    Max abs error vs exact: poly 6.6e-4 + f32 turn rounding ~2e-4 at L=10 —
+    invisible in bf16 (eps ≈ 7.8e-3), so this feeds the fused bf16 MLP path
+    (``NerfMLP(fused=True)``); exact ``posenc`` remains the default
+    elsewhere and in golden parity tests.
+    """
+    if num_freqs == 0:
+        return x
+    turns = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype) * jnp.asarray(
+        _INV_2PI, x.dtype
+    )
+    tb = x[..., None, :] * turns[:, None]  # [..., L, D] in turns
+    sin = _sin_2pi(tb)
+    cos = _sin_2pi(tb + 0.25)
+    enc = jnp.stack([sin, cos], axis=-2).reshape(*x.shape[:-1], -1)
+    if include_input:
+        enc = jnp.concatenate([x, enc], axis=-1)
+    return enc
+
+
 def posenc_channels(in_dim: int, num_freqs: int, include_input: bool = True) -> int:
     return in_dim * ((1 if include_input else 0) + 2 * num_freqs)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...registry import NETWORKS
 from ...utils.metrics import img2mse, mse2psnr
-from ..embedders.posenc import posenc
+from ..embedders.posenc import posenc, posenc_fast
 from ..fields.nerf_mlp import NerfMLP
 from ..renders.volume import volume_render
 from ..samplers.pdf import sample_pdf
@@ -50,10 +50,14 @@ class NerfNetwork(BaseNetwork):
     def _eval_mlp(self, mlp, pts, viewdirs):
         """Encode + run MLP over [N, S, 3] pts with per-ray viewdirs [N, 3]."""
         n, s, _ = pts.shape
-        pts_enc = posenc(pts.reshape(n * s, 3), self.multires)
+        # The fused path consumes encodings in bf16, where the double-angle
+        # recurrence's ~1e-4 error is invisible — and it is ~6x cheaper on
+        # the VPU (posenc is several ms/step at 10^6 pts otherwise).
+        enc = posenc_fast if self.fused else posenc
+        pts_enc = enc(pts.reshape(n * s, 3), self.multires)
         views_enc = None
         if self.use_viewdirs:
-            views_enc = posenc(viewdirs, self.multires_dirs)
+            views_enc = enc(viewdirs, self.multires_dirs)
             views_enc = jnp.repeat(views_enc, s, axis=0)
         rgb, sigma = mlp(pts_enc, views_enc)
         return rgb.reshape(n, s, 3), sigma.reshape(n, s)
