@@ -137,10 +137,21 @@ def generate_grid_samples(
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     # uniform cells over all cascades
     uni_cells = jax.random.randint(k1, (n_uniform,), 0, C * n)
-    # biased: sample proportional to (density > threshold)
+    # biased: uniform over cells with density above threshold, sampled by
+    # inverting the indicator CDF. (jax.random.categorical would
+    # materialize a [n_biased, C*res^3] Gumbel matrix — ~0.5 TB at the
+    # production grid_res=128 — so it must not be used here.)
     occ = (grid.density.reshape(-1) > threshold).astype(jnp.float32)
-    logits = jnp.log(occ + 1e-12)
-    bia_cells = jax.random.categorical(k2, logits, shape=(n_biased,))
+    cdf = jnp.cumsum(occ)
+    total = cdf[-1]
+    u = jax.random.uniform(k2, (n_biased,)) * jnp.maximum(total, 1.0)
+    bia_cells = jnp.clip(
+        jnp.searchsorted(cdf, u, side="right"), 0, C * n - 1
+    ).astype(jnp.int32)
+    # nothing occupied yet -> fall back to uniform cells
+    bia_cells = jnp.where(
+        total > 0, bia_cells, jax.random.randint(k2, (n_biased,), 0, C * n)
+    )
     cells = jnp.concatenate([uni_cells, bia_cells])
     cascade = (cells // n).astype(jnp.int32)
     cell_idx = (cells % n).astype(jnp.int32)
