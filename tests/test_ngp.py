@@ -7,8 +7,14 @@ import numpy as np
 import pytest
 
 from xrnerf_tpu.models.embedders.hashenc import (
+    BrickHashEncoding,
     HashEncoding,
+    _brick_impl,
     per_level_scale,
+)
+from xrnerf_tpu.ops.pallas.scatter_rows import (
+    _pallas_scatter_add_rows,
+    scatter_add_rows,
 )
 from xrnerf_tpu.models.embedders.sh import sh_encode
 from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
@@ -58,6 +64,96 @@ def test_hash_encoding_batched_shapes():
     x = jnp.zeros((5, 7, 3))
     params = enc.init(jax.random.PRNGKey(0), x)["params"]
     assert enc.apply({"params": params}, x).shape == (5, 7, 4)
+
+
+# ------------------------------------------------------------ brick layout
+def test_scatter_add_rows_kernel_matches_xla():
+    rng = np.random.RandomState(0)
+    n, w, rows = 2048 + 37, 16, 64  # non-multiple of the tile: pad path
+    idx = jnp.asarray(rng.randint(0, rows, size=(n,)).astype(np.int32))
+    vals = jnp.asarray(rng.randn(n, w).astype(np.float32))
+    ref = jnp.zeros((rows, w), jnp.float32).at[idx].add(vals)
+    out = _pallas_scatter_add_rows(idx, vals, rows, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    # the public dispatcher (XLA path on CPU) agrees too
+    out2 = scatter_add_rows(idx, vals, rows)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def _brick_enc():
+    return BrickHashEncoding(
+        n_levels=4, n_features=2, log2_table_size=14, base_res=4, max_res=32
+    )
+
+
+def test_brick_encoding_shapes_param_budget_and_continuity_inside_cell():
+    enc = _brick_enc()
+    x = jnp.asarray([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    # identical parameter budget to the vertex layout at the same config
+    venc = HashEncoding(n_levels=4, n_features=2, log2_table_size=14, base_res=4, max_res=32)
+    vparams = venc.init(jax.random.PRNGKey(0), x)["params"]
+    assert params["table"].size == vparams["table"].size
+    out = enc.apply({"params": params}, x)
+    assert out.shape == (3, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # trilinear inside a cell: points within the same finest cell are close
+    x2 = x + 1e-5
+    out2 = enc.apply({"params": params}, x2)
+    assert float(jnp.abs(out - out2).max()) < 1e-2
+    assert enc.apply({"params": params}, jnp.zeros((5, 7, 3))).shape == (5, 7, 8)
+
+
+@pytest.mark.parametrize("n_lat", [1, 2])
+def test_brick_custom_vjp_matches_autodiff_of_reference_formulation(n_lat):
+    enc = BrickHashEncoding(
+        n_levels=4, n_features=2, log2_table_size=14, base_res=4, max_res=32,
+        n_lattices=n_lat,
+    )
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(33, 3).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    table = params["table"]
+    cot = jnp.asarray(rng.randn(33, 8).astype(np.float32))
+
+    # static config mirrors the module internals
+    from xrnerf_tpu.models.embedders.hashenc import (
+        _level_resolutions,
+        per_level_scale,
+    )
+
+    scale = per_level_scale(32, 4, 4)
+    res = tuple(int(r) for r in _level_resolutions(4, scale, 4))
+    cfg = (res, (1 << 11) // n_lat, 2, n_lat)
+
+    def loss_plain(tab, xx):
+        return jnp.sum(_brick_impl(tab, xx, cfg) * cot)
+
+    from xrnerf_tpu.models.embedders.hashenc import _brick_lookup
+
+    def loss_vjp(tab, xx):
+        return jnp.sum(_brick_lookup(tab, xx, cfg) * cot)
+
+    gt_ref, gx_ref = jax.grad(loss_plain, argnums=(0, 1))(table, x)
+    gt, gx = jax.grad(loss_vjp, argnums=(0, 1))(table, x)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_brick_dense_level_is_injective_trilerp_at_corners():
+    # one dense level (res 5 -> 64 cells <= table) — at an exact grid
+    # vertex the trilerp weight collapses onto a single corner feature.
+    enc = BrickHashEncoding(n_levels=1, n_features=2, log2_table_size=14, base_res=5, max_res=5)
+    x = jnp.asarray([[0.25, 0.5, 0.75]])  # = vertex (1,2,3) of the 5-grid
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    out = enc.apply({"params": params}, x)
+    tab = np.asarray(params["table"])  # [1, 1, Tb, 16]
+    # cell = (1,2,3) clipped -> its corner (0,0,0) slot holds the feature
+    ncells = 4
+    cell = 1 + ncells * (2 + ncells * 3)
+    np.testing.assert_allclose(
+        np.asarray(out)[0], tab[0, 0, cell, 0:2], rtol=1e-5, atol=1e-7
+    )
 
 
 # ---------------------------------------------------------------- SH

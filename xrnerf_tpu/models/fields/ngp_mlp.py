@@ -18,7 +18,7 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..embedders.hashenc import HashEncoding
+from ..embedders.hashenc import BrickHashEncoding, HashEncoding
 from ..embedders.sh import sh_encode
 
 
@@ -32,16 +32,32 @@ class NGPField(nn.Module):
     geo_feat_dim: int = 15
     sh_degree: int = 4
     use_pallas: bool = False  # fused Pallas MLP kernels (ops/pallas/fused_mlp)
+    # 'vertex' = exact tcnn interpolation semantics (default; quality
+    # parity). 'brick' = one row-gather per point per level with a Pallas
+    # VMEM scatter backward: ~29x faster training on TPU, but trilerp is
+    # discontinuous at cell faces and collisions tie whole cells — a
+    # measured ~2-4 dB val-PSNR cost at toy scale (docs/benchmark.md).
+    # n_lattices=2 staggers two half-cell-offset brick lattices to
+    # decorrelate collisions and halve the jumps at 2 gathers/pt/level.
+    hash_layout: str = "vertex"
+    n_lattices: int = 1
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.encoding = HashEncoding(
+        kw = {}
+        if self.hash_layout == "brick":
+            enc_cls = BrickHashEncoding
+            kw["n_lattices"] = self.n_lattices
+        else:
+            enc_cls = HashEncoding
+        self.encoding = enc_cls(
             n_levels=self.n_levels,
             n_features=self.n_features,
             log2_table_size=self.log2_table_size,
             base_res=self.base_res,
             max_res=self.max_res,
             dtype=self.dtype,
+            **kw,
         )
         if self.use_pallas:
             init = nn.initializers.lecun_normal()

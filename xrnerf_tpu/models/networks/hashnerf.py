@@ -56,6 +56,8 @@ class HashNerfNetwork(BaseNetwork):
     density_threshold: float = 0.01
     loss_scale: float = 5.0
     huber_delta: float = 0.1
+    hash_layout: str = "vertex"  # 'vertex' (tcnn-exact) | 'brick' (TPU-fast)
+    n_lattices: int = 1  # brick only: 2 = staggered dual lattice
     dtype: Any = jnp.bfloat16
 
     # Trainer aux-state protocol
@@ -70,6 +72,8 @@ class HashNerfNetwork(BaseNetwork):
             max_res=self.max_res,
             hidden_dim=self.hidden_dim,
             geo_feat_dim=self.geo_feat_dim,
+            hash_layout=self.hash_layout,
+            n_lattices=self.n_lattices,
             dtype=self.dtype,
         )
 
@@ -77,8 +81,12 @@ class HashNerfNetwork(BaseNetwork):
         """Shard the hash table's bucket dim on the model axis: [L, T, F]
         -> P(None, 'model'). Gradients are gather-transposed scatter-adds,
         which GSPMD keeps shard-local on the bucket dim (SURVEY §2.6's
-        'model sharding of the hash table' gap in the reference)."""
-        if path[-1] == "table":
+        'model sharding of the hash table' gap in the reference).
+
+        Only the 'vertex' layout is sharded: the 'brick' layout's backward
+        is a Pallas kernel that GSPMD cannot partition — its table stays
+        replicated until a shard_map wrapper lands."""
+        if path[-1] == "table" and self.hash_layout == "vertex":
             import jax as _jax
 
             return _jax.sharding.PartitionSpec(None, "model")

@@ -1,0 +1,97 @@
+"""Row scatter-add for hash-table gradients — Pallas TPU kernel.
+
+The transpose of a row gather is a scatter-add. XLA lowers
+``zeros.at[idx].add(vals)`` to a serialized HBM scatter measured at
+~82 ns/row on v5e (tools/exp_hashgather3.py: 344 ms for a 4.2M-row
+Instant-NGP table-gradient step) — the single dominant cost of NGP
+training on TPU, standing in for the atomicAdd that tiny-cuda-nn's
+backward uses on GPU (reference call site:
+``/root/reference/xrnerf/models/mlps/hashnerf_mlp.py:36-45``).
+
+This kernel keeps the accumulator table resident in VMEM across the
+whole grid sweep and performs the read-modify-write rows on-chip:
+~37 ns/row measured (2.2x XLA), limited by the serial scalar loop —
+Mosaic must serialize consecutive RMW row slices because dynamic row
+indices may alias (unrolling was measured and does not help;
+tools/exp_hashgather4.py).
+
+Constraints: ``num_rows * row_width * 4`` bytes must fit in VMEM
+alongside one value tile (~4 MB for the NGP brick table [65536, 16]).
+On non-TPU backends (CPU tests, virtual-device meshes) the op falls
+back to XLA's scatter-add, which is also what keeps the op GSPMD-
+partitionable in multi-chip dry runs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is absent on CPU-only installs
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+_TILE = 1024  # indices per grid step (SMEM block: 4 KB of int32)
+
+
+def _kernel(idx_ref, vals_ref, acc_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(i, carry):
+        r = idx_ref[i]
+        acc_ref[pl.ds(r, 1), :] = acc_ref[pl.ds(r, 1), :] + vals_ref[pl.ds(i, 1), :]
+        return carry
+
+    jax.lax.fori_loop(0, _TILE, body, 0)
+
+
+def _pallas_scatter_add_rows(
+    idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int, interpret: bool = False
+) -> jnp.ndarray:
+    n, w = vals.shape
+    pad = (-n) % _TILE
+    if pad:
+        # zero-valued padding rows may target any row id harmlessly
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, w), vals.dtype)])
+        n += pad
+    kw = {}
+    if pltpu is not None and not interpret:
+        smem, vmem = pltpu.SMEM, pltpu.VMEM
+        in_specs = [
+            pl.BlockSpec((_TILE,), lambda g: (g,), memory_space=smem),
+            pl.BlockSpec((_TILE, w), lambda g: (g, 0), memory_space=vmem),
+        ]
+        out_specs = pl.BlockSpec((num_rows, w), lambda g: (0, 0), memory_space=vmem)
+    else:
+        in_specs = [
+            pl.BlockSpec((_TILE,), lambda g: (g,)),
+            pl.BlockSpec((_TILE, w), lambda g: (g, 0)),
+        ]
+        out_specs = pl.BlockSpec((num_rows, w), lambda g: (0, 0))
+        kw["interpret"] = True
+    return pl.pallas_call(
+        _kernel,
+        grid=(n // _TILE,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((num_rows, w), vals.dtype),
+        **kw,
+    )(idx, vals)
+
+
+def scatter_add_rows(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """``out[idx[i], :] += vals[i, :]`` over a fresh [num_rows, W] zeros.
+
+    idx: [N] int32 row ids in [0, num_rows); vals: [N, W] float. Uses the
+    VMEM-resident Pallas kernel on TPU, XLA scatter-add elsewhere.
+    """
+    if jax.default_backend() == "tpu":
+        return _pallas_scatter_add_rows(idx, vals, num_rows)
+    return jnp.zeros((num_rows, vals.shape[-1]), vals.dtype).at[idx].add(vals)
