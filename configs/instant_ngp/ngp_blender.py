@@ -27,6 +27,9 @@ model = dict(
     grid_update_samples=65536,
     density_threshold=0.01,
     loss_scale=5.0,
+    # 'vertex' = tcnn-exact quality; 'brick' (+ n_lattices=2) trains ~29x
+    # faster on TPU at a measured quality cost — see docs/benchmark.md.
+    hash_layout="vertex",
 )
 
 data = dict(
