@@ -141,12 +141,16 @@ def generate_grid_samples(
     # inverting the indicator CDF. (jax.random.categorical would
     # materialize a [n_biased, C*res^3] Gumbel matrix — ~0.5 TB at the
     # production grid_res=128 — so it must not be used here.)
-    occ = (grid.density.reshape(-1) > threshold).astype(jnp.float32)
+    # Integer cumsum: a float32 running count stops incrementing past 2^24
+    # occupied cells (reachable at 8 cascades x 128^3), silently dropping
+    # later cells from the distribution. int32 is exact to 2^31.
+    occ = (grid.density.reshape(-1) > threshold).astype(jnp.int32)
     cdf = jnp.cumsum(occ)
     total = cdf[-1]
-    u = jax.random.uniform(k2, (n_biased,)) * jnp.maximum(total, 1.0)
+    # u-th occupied cell, u ~ Uniform{1..total}: first index with cdf >= u
+    u = jax.random.randint(k2, (n_biased,), 1, jnp.maximum(total, 1) + 1)
     bia_cells = jnp.clip(
-        jnp.searchsorted(cdf, u, side="right"), 0, C * n - 1
+        jnp.searchsorted(cdf, u, side="left"), 0, C * n - 1
     ).astype(jnp.int32)
     # nothing occupied yet -> fall back to uniform cells
     bia_cells = jnp.where(
