@@ -42,6 +42,136 @@ def _level_resolutions(base_res: int, scale: float, n_levels: int) -> np.ndarray
     return np.floor(base_res * scale ** np.arange(n_levels)).astype(np.int64)
 
 
+def _vertex_cells(x: jnp.ndarray, cfg) -> tuple:
+    """x [N,3] in [0,1] -> (corner idx [L,N,8] int32, frac t [L,N,3]).
+
+    Hashed index per level: injective for levels whose dense grid fits
+    in the table, spatial hash otherwise (tcnn tied-grid behavior). The
+    dense/hashed split is decided host-side in int64 (jax x64 is off;
+    2048^3 overflows i32).
+    """
+    res, T, _ = cfg
+    res_np = np.asarray(res, np.int64)
+    res_f = jnp.asarray(res_np, x.dtype)[:, None, None]
+    xl = x[None, :, :] * (res_f - 1.0)
+    x0 = jnp.floor(xl)
+    t = xl - x0  # trilerp fractions in [0,1)
+    xi = x0.astype(jnp.int32)
+
+    corners = jnp.asarray(_CORNERS, jnp.int32)  # [8, 3]
+    cc = xi[:, :, None, :] + corners[None, None, :, :]  # [L, N, 8, 3]
+    cc = jnp.clip(cc, 0, jnp.asarray(res_np, jnp.int32)[:, None, None, None] - 1)
+
+    use_dense = res_np**3 <= T  # [L] np.bool_
+    res_i = jnp.asarray(res_np, jnp.int32)[:, None, None]
+    dense_idx = cc[..., 0] + res_i * (cc[..., 1] + res_i * cc[..., 2])
+    # uint32-style wrap-around hash (tcnn semantics); int32 mul wraps in
+    # XLA and jnp.mod returns a value in [0, T) even for negatives.
+    hash_idx = (
+        cc[..., 0] * np.int32(_PRIMES[0])
+        ^ cc[..., 1] * np.int32(np.uint32(_PRIMES[1]).view(np.int32))
+        ^ cc[..., 2] * np.int32(np.uint32(_PRIMES[2]).view(np.int32))
+    ) % T
+    idx = jnp.where(
+        jnp.asarray(use_dense)[:, None, None], dense_idx % T, hash_idx
+    ).astype(jnp.int32)
+    return idx, t
+
+
+def _vertex_gather(table: jnp.ndarray, idx: jnp.ndarray, cfg) -> jnp.ndarray:
+    """table [L,T,F], idx [L,N,8] -> corner feats [L,N,8,F]."""
+    _, T, F = cfg
+    L, n, _ = idx.shape
+    return jnp.take_along_axis(
+        table[:, :, None, :], idx.reshape(L, n * 8)[:, :, None, None], axis=1
+    ).reshape(L, n, 8, F)
+
+
+def _vertex_impl(table, x, cfg):
+    _, _, F = cfg
+    n = x.shape[0]
+    idx, t = _vertex_cells(x, cfg)
+    feats = _vertex_gather(table, idx, cfg)
+    w8 = _corner_weights(t)  # [L, N, 8]
+    out = jnp.sum(feats * w8[..., None], axis=2)  # [L, N, F]
+    L = idx.shape[0]
+    return jnp.moveaxis(out, 0, 1).reshape(n, L * F)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _vertex_lookup(table, x, cfg):
+    return _vertex_impl(table, x, cfg)
+
+
+def _vertex_fwd(table, x, cfg):
+    # Residuals are (table, x): corner indices and the gather are
+    # rematerialized in the backward instead of saving [L,N,8,F] rows.
+    return _vertex_impl(table, x, cfg), (table, x)
+
+
+def _vertex_bwd(cfg, residuals, g):
+    """Table gradient through the Pallas VMEM row scatter.
+
+    The transpose of the 8-corner gather is a scatter-add of 33.5M
+    width-F rows per Instant-NGP step — XLA serializes it at ~82 ns/row
+    on v5e (tools/exp_round3_vertex2.py), the single dominant cost of
+    tcnn-exact NGP training on TPU. Packing 8 consecutive table rows
+    into one [8F]-lane row (row = idx>>3, lanes (idx&7)*F..) turns it
+    into exactly the row shape the brick layout's VMEM kernel handles at
+    ~12 ns/row (ops/pallas/scatter_rows.py), with bit-identical +=
+    semantics (only f32 summation order changes).
+    """
+    from ...ops.pallas.scatter_rows import scatter_add_rows
+
+    res, T, F = cfg
+    table, x = residuals
+    L = len(res)
+    n = x.shape[0]
+
+    idx, t = _vertex_cells(x, cfg)
+    w8 = _corner_weights(t)  # [L, N, 8]
+    g3 = jnp.moveaxis(g.reshape(n, L, F).astype(jnp.float32), 0, 1)  # [L,N,F]
+    grad_rows = w8[..., None] * g3[:, :, None, :]  # [L, N, 8, F]
+
+    # --- table gradient: per-level packed-row VMEM scatter ---
+    idx2 = idx.reshape(L, n * 8)
+    gr = grad_rows.reshape(L, n * 8, F)
+    lane = jnp.arange(8 * F, dtype=jnp.int32)  # [8F]
+    sub = idx2 & 7  # which of the 8 packed slots
+    vals = jnp.take(gr, lane % F, axis=-1)  # [L, N8, 8F]
+    vals = jnp.where((lane[None, None, :] // F) == sub[..., None], vals, 0.0)
+    grad_table = jnp.stack(
+        [
+            scatter_add_rows(idx2[l] >> 3, vals[l], T // 8).reshape(T, F)
+            for l in range(L)
+        ]
+    ).astype(table.dtype)
+
+    # --- position gradient: d(out)/dx through the trilerp weights ---
+    feats = _vertex_gather(table, idx, cfg)  # remat
+    gdot = jnp.sum(feats * g3[:, :, None, :], axis=-1)  # [L, N, 8]
+    c = jnp.asarray(_CORNERS, x.dtype)  # [8, 3]
+    sign = jnp.where(c == 1.0, 1.0, -1.0)[None, None]  # [1,1,8,3]
+    wd = jnp.where(
+        c[None, None, :, :] == 1.0, t[:, :, None, :], 1.0 - t[:, :, None, :]
+    )  # [L,N,8,3] per-dim factors
+    prod_others = jnp.stack(
+        [
+            wd[..., 1] * wd[..., 2],
+            wd[..., 0] * wd[..., 2],
+            wd[..., 0] * wd[..., 1],
+        ],
+        axis=-1,
+    )  # [L,N,8,3]
+    dw = jnp.sum(gdot[..., None] * sign * prod_others, axis=2)  # [L,N,3]
+    res_f = jnp.asarray(np.asarray(res, np.float64) - 1.0, x.dtype)[:, None, None]
+    grad_x = jnp.sum(dw * res_f, axis=0).astype(x.dtype)  # [N,3]
+    return grad_table, grad_x
+
+
+_vertex_lookup.defvjp(_vertex_fwd, _vertex_bwd)
+
+
 class HashEncoding(nn.Module):
     """x in [0,1]^3 -> [..., n_levels * n_features] encoding."""
 
@@ -57,7 +187,7 @@ class HashEncoding(nn.Module):
         T = 1 << self.log2_table_size
         L, F = self.n_levels, self.n_features
         scale = per_level_scale(self.max_res, self.base_res, L)
-        res = _level_resolutions(self.base_res, scale, L)  # [L] host-side
+        res = tuple(int(r) for r in _level_resolutions(self.base_res, scale, L))
 
         table = self.param(
             "table",
@@ -66,56 +196,8 @@ class HashEncoding(nn.Module):
         )
 
         orig_shape = x.shape[:-1]
-        x = x.reshape(-1, 3)
-        n = x.shape[0]
-
-        # [L, N, 3] scaled coords per level
-        res_f = jnp.asarray(res, x.dtype)[:, None, None]
-        xl = x[None, :, :] * (res_f - 1.0)
-        x0 = jnp.floor(xl)
-        w = xl - x0  # trilerp weights in [0,1)
-        xi = x0.astype(jnp.int32)
-
-        # 8 corner offsets [8, 3]
-        corners = jnp.asarray(
-            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
-        )
-        # corner coords [L, N, 8, 3]
-        cc = xi[:, :, None, :] + corners[None, None, :, :]
-        cc = jnp.clip(cc, 0, jnp.asarray(res, jnp.int32)[:, None, None, None] - 1)
-
-        # Hashed index per level: injective for levels whose dense grid fits
-        # in the table, spatial hash otherwise. The dense/hashed split is
-        # decided host-side in int64 (jax x64 is off; 2048^3 overflows i32).
-        use_dense = (res.astype(np.int64) ** 3 <= T)  # [L] np.bool_
-        res_i = jnp.asarray(res, jnp.int32)[:, None, None]
-        dense_idx = cc[..., 0] + res_i * (cc[..., 1] + res_i * cc[..., 2])
-        # uint32-style wrap-around hash (tcnn semantics); int32 mul wraps in
-        # XLA and jnp.mod returns a value in [0, T) even for negatives.
-        hash_idx = (
-            cc[..., 0] * np.int32(_PRIMES[0])
-            ^ cc[..., 1] * np.int32(np.uint32(_PRIMES[1]).view(np.int32))
-            ^ cc[..., 2] * np.int32(np.uint32(_PRIMES[2]).view(np.int32))
-        ) % T
-        idx = jnp.where(
-            jnp.asarray(use_dense)[:, None, None], dense_idx % T, hash_idx
-        ).astype(jnp.int32)
-
-        # gather: [L, N, 8, F]
-        feats = jnp.take_along_axis(
-            table[:, :, None, :],
-            idx.reshape(L, n * 8)[:, :, None, None],
-            axis=1,
-        ).reshape(L, n, 8, F)
-
-        # trilerp weights [L, N, 8]
-        wx = jnp.where(corners[None, None, :, 0] == 1, w[..., 0:1], 1 - w[..., 0:1])
-        wy = jnp.where(corners[None, None, :, 1] == 1, w[..., 1:2], 1 - w[..., 1:2])
-        wz = jnp.where(corners[None, None, :, 2] == 1, w[..., 2:3], 1 - w[..., 2:3])
-        cw = (wx * wy * wz)[..., None]  # [L, N, 8, 1]
-
-        out = jnp.sum(feats * cw, axis=2)  # [L, N, F]
-        out = jnp.moveaxis(out, 0, 1).reshape(n, L * F)
+        x2 = x.reshape(-1, 3).astype(jnp.float32)
+        out = _vertex_lookup(table, x2, (res, T, F))
         return out.reshape(*orig_shape, L * F).astype(self.dtype)
 
 
