@@ -116,6 +116,67 @@ def test_student_distill_fits_analytic_teacher():
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
 
 
+def test_gather_dispatch_matches_scatter_dispatch():
+    """The inference (sort+gather) dispatch must produce identical
+    outputs to the training (scatter) dispatch: same stable grouping,
+    same capacity drops, same grouped matmul layout."""
+    rng = np.random.RandomState(1)
+    n_nets, b = 27, 513
+    mlp = MultiNetworkMLP(
+        n_nets=n_nets, hidden=8, multires=4, multires_dirs=2, capacity_factor=1.5
+    )
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(b, 3)).astype(np.float32))
+    d = rng.randn(b, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jnp.asarray(d)
+    idx = jnp.asarray(rng.randint(-1, n_nets, size=(b,)).astype(np.int32))
+    params = mlp.init(jax.random.PRNGKey(0), pts, dirs, idx)["params"]
+    rgb_s, sig_s = mlp.apply({"params": params}, pts, dirs, idx)
+    rgb_g, sig_g = mlp.apply(
+        {"params": params}, pts, dirs, idx, gather_dispatch=True
+    )
+    np.testing.assert_allclose(np.asarray(rgb_g), np.asarray(rgb_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig_g), np.asarray(sig_s), atol=1e-5)
+
+
+def test_kilonerf_fast_path_matches_full_eval():
+    """Keep-K ESS inference vs full n_samples evaluation on a scene
+    whose live samples fit under the budget: renders must closely agree
+    (only the dist convention differs: fixed candidate dt vs z-diffs)."""
+    net_full = KiloNerfNetwork(
+        resolution=(4, 4, 4), hidden=8, multires=4, multires_dirs=2,
+        n_samples=64, capacity_factor=8.0, n_keep=0,
+    )
+    net_fast = KiloNerfNetwork(
+        resolution=(4, 4, 4), hidden=8, multires=4, multires_dirs=2,
+        n_samples=64, capacity_factor=8.0, n_keep=24,
+    )
+    rng = np.random.RandomState(0)
+    n = 32
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(2.0 * d),
+        "rays_d": jnp.asarray(-d),
+        "near": jnp.full((n, 1), 1.0),
+        "far": jnp.full((n, 1), 3.0),
+    }
+    # occupancy: a thin central slab -> few live samples per ray
+    occ = np.zeros((8, 8, 8), bool)
+    occ[3:5, 3:5, 3:5] = True
+    occ = jnp.asarray(occ)
+    params = net_full.init(
+        jax.random.PRNGKey(0), batch, rng=None, train=False, aux=occ
+    )["params"]
+    out_full = net_full.apply({"params": params}, batch, rng=None, train=False, aux=occ)
+    out_fast = net_fast.apply({"params": params}, batch, rng=None, train=False, aux=occ)
+    err = float(jnp.abs(out_fast["rgb"] - out_full["rgb"]).max())
+    assert err < 0.02, err
+    np.testing.assert_allclose(
+        np.asarray(out_fast["acc"]), np.asarray(out_full["acc"]), atol=0.02
+    )
+
+
 def test_build_occupancy_grid():
     def density(pts):
         return jnp.where(jnp.linalg.norm(pts, axis=-1) < 0.5, 100.0, 0.0)

@@ -27,9 +27,11 @@ def main():
     p.add_argument("--hw", type=int, default=800)
     p.add_argument("--chunk", type=int, default=65536)
     p.add_argument("--n_samples", type=int, default=384)
+    p.add_argument("--n_keep", type=int, default=32)
     p.add_argument("--resolution", type=int, default=16)
     p.add_argument("--occupied_frac", type=float, default=0.15)
     p.add_argument("--frames", type=int, default=3)
+    p.add_argument("--f32", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -40,7 +42,8 @@ def main():
     R = args.resolution
     net = KiloNerfNetwork(
         resolution=(R, R, R), hidden=32, n_hidden_layers=2,
-        n_samples=args.n_samples,
+        n_samples=args.n_samples, n_keep=args.n_keep,
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
     )
 
     HW, C = args.hw, args.chunk
@@ -82,7 +85,8 @@ def main():
     dt = (time.perf_counter() - t0) / args.frames
     rays_s = n_rays / dt
     print(
-        f"kilonerf frame {HW}x{HW} ({R}^3 nets, {args.n_samples} samples, "
+        f"kilonerf frame {HW}x{HW} ({R}^3 nets, {args.n_samples} cands, "
+        f"keep {args.n_keep}, {'f32' if args.f32 else 'bf16'}, "
         f"{n_chunks} chunks of {C}): {dt*1e3:.2f} ms/frame  "
         f"{rays_s/1e6:.2f} Mrays/s  (reference GPU: 365-394 ms)"
     )

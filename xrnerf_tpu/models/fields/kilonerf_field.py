@@ -105,16 +105,70 @@ class MultiNetworkMLP(nn.Module):
 
     @nn.compact
     def __call__(
-        self, local_pts: jnp.ndarray, dirs: jnp.ndarray, net_idx: jnp.ndarray
+        self,
+        local_pts: jnp.ndarray,
+        dirs: jnp.ndarray,
+        net_idx: jnp.ndarray,
+        gather_dispatch: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """local_pts [B,3] in [-1,1], dirs [B,3] unit, net_idx [B] (−1=empty)
         -> (raw_rgb [B,3], raw_sigma [B]). Dropped/empty points get zeros.
+
+        ``gather_dispatch`` selects the inference-oriented dispatch whose
+        forward contains no HBM scatter (see _eval_grouped notes).
         """
         bsz = local_pts.shape[0]
         capacity = int(
             max(8, self.capacity_factor * bsz / max(self.n_nets, 1))
         )
         capacity = min(capacity, bsz)
+        raw = jnp.concatenate([local_pts, dirs], -1)  # [B, 6]
+
+        if gather_dispatch:
+            # Sort-based dispatch made of sorts + gathers only. XLA's
+            # HBM scatter runs at ~82 ns/row on v5e — at inference chunk
+            # sizes (2-25M dispatch rows/frame) the scatter-based path
+            # below spends seconds per frame moving rows; two int32
+            # sorts + capacity gathers do the same movement at ~6 ns/row
+            # (tools/exp_round3_kilo.py). Grad-free by design: the
+            # gathers would transpose back into scatters in a backward.
+            valid = net_idx >= 0
+            key = jnp.where(valid, net_idx, self.n_nets)
+            skey, perm = jax.lax.sort(
+                (key.astype(jnp.int32), jnp.arange(bsz, dtype=jnp.int32)),
+                num_keys=1,
+            )
+            first = jnp.searchsorted(
+                skey, jnp.arange(self.n_nets + 1, dtype=jnp.int32), side="left"
+            )  # [n_nets+1]
+            # capacity gather: slot (e, r) <- sorted row first[e]+r
+            pos = first[: self.n_nets, None] + jnp.arange(capacity)[None, :]
+            valid_slot = pos < jnp.minimum(
+                first[1:, None], first[: self.n_nets, None] + capacity
+            )
+            perm_pad = jnp.concatenate([perm, jnp.full((1,), bsz, jnp.int32)])
+            src = jnp.where(valid_slot, perm_pad[jnp.clip(pos, 0, bsz - 1)], bsz)
+            raw_pad = jnp.concatenate([raw, jnp.zeros((1, 6), raw.dtype)])
+            grouped_raw = raw_pad[src.reshape(-1)].reshape(
+                self.n_nets, capacity, 6
+            )
+            rgb, sigma = self._eval_grouped(grouped_raw, local_pts.shape[-1])
+            # un-dispatch: sorted row j sits at slot skey*cap + rank
+            rank = jnp.arange(bsz, dtype=jnp.int32) - first[
+                jnp.clip(skey, 0, self.n_nets)
+            ]
+            kept = (skey < self.n_nets) & (rank < capacity)
+            dest = jnp.where(kept, skey * capacity + rank, self.n_nets * capacity)
+            # back to original order without a scatter: sort by perm
+            _, dest_orig = jax.lax.sort((perm, dest), num_keys=1)
+            flat_rgb = jnp.concatenate(
+                [rgb.reshape(-1, 3), jnp.zeros((1, 3), rgb.dtype)], 0
+            )
+            flat_sigma = jnp.concatenate(
+                [sigma.reshape(-1), jnp.full((1,), -1e3, sigma.dtype)]
+            )
+            return flat_rgb[dest_orig], flat_sigma[dest_orig]
+
         dest, keep, order = moe_dispatch(net_idx, self.n_nets, capacity)
 
         # Scatter the RAW 6-dim (pts, dirs) into the capacity buffer and
@@ -123,29 +177,10 @@ class MultiNetworkMLP(nn.Module):
         # inference chunk sizes it was the peak-HBM allocation). Identical
         # math for kept points; unused slots' encodings are discarded by
         # the gather-back.
-        raw = jnp.concatenate([local_pts, dirs], -1)  # [B, 6]
         buf = jnp.zeros((self.n_nets * capacity + 1, 6), raw.dtype)
         buf = buf.at[dest].set(jnp.where(keep[:, None], raw[order], 0.0))
         grouped_raw = buf[:-1].reshape(self.n_nets, capacity, 6)
-        grouped = jnp.concatenate(
-            [
-                posenc(grouped_raw[..., :3], self.multires),
-                posenc(grouped_raw[..., 3:], self.multires_dirs),
-            ],
-            -1,
-        )
-        pts_ch = local_pts.shape[-1] * (1 + 2 * self.multires)
-
-        h = grouped[..., :pts_ch]
-        for i in range(self.n_hidden_layers):
-            h = self._bmm_layer(f"hidden_{i}", h, self.hidden)
-        sigma = self._bmm_layer("sigma", h, 1, relu=False)[..., 0]
-        feat = self._bmm_layer("feature", h, self.hidden, relu=False)
-        hd = nn.relu(
-            jnp.concatenate([feat, grouped[..., pts_ch:]], axis=-1)
-        )
-        hd = self._bmm_layer("color_hidden", hd, self.hidden)
-        rgb = self._bmm_layer("rgb", hd, 3, relu=False)
+        rgb, sigma = self._eval_grouped(grouped_raw, local_pts.shape[-1])
 
         # gather back to point order
         flat_rgb = jnp.concatenate(
@@ -159,6 +194,26 @@ class MultiNetworkMLP(nn.Module):
             jnp.where(keep, flat_sigma[dest], -1e3)
         )
         return out_rgb, out_sigma
+
+    def _eval_grouped(self, grouped_raw: jnp.ndarray, pts_dim: int = 3):
+        """[N_nets, cap, 6] raw (pts, dirs) -> (rgb [N,cap,3], sigma [N,cap])."""
+        grouped = jnp.concatenate(
+            [
+                posenc(grouped_raw[..., :pts_dim], self.multires),
+                posenc(grouped_raw[..., pts_dim:], self.multires_dirs),
+            ],
+            -1,
+        )
+        pts_ch = pts_dim * (1 + 2 * self.multires)
+        h = grouped[..., :pts_ch]
+        for i in range(self.n_hidden_layers):
+            h = self._bmm_layer(f"hidden_{i}", h, self.hidden)
+        sigma = self._bmm_layer("sigma", h, 1, relu=False)[..., 0]
+        feat = self._bmm_layer("feature", h, self.hidden, relu=False)
+        hd = nn.relu(jnp.concatenate([feat, grouped[..., pts_ch:]], axis=-1))
+        hd = self._bmm_layer("color_hidden", hd, self.hidden)
+        rgb = self._bmm_layer("rgb", hd, 3, relu=False)
+        return rgb, sigma
 
 
 class GroupedMultiMLP(nn.Module):

@@ -31,6 +31,51 @@ from ..samplers.stratified import sample_along_rays, z_to_pts
 from .base import BaseNetwork
 
 
+def kilonerf_march(
+    rays_o: jnp.ndarray,  # [N, 3]
+    rays_d: jnp.ndarray,  # [N, 3]
+    near: jnp.ndarray,  # [N, 1]
+    far: jnp.ndarray,  # [N, 1]
+    occ: jnp.ndarray,  # [ox, oy, oz] bool
+    domain_min: jnp.ndarray,
+    domain_max: jnp.ndarray,
+    n_candidates: int,
+    n_keep: int,
+):
+    """Keep-K empty-space-skipping march for KiloNeRF inference.
+
+    The reference culls samples with per-ray CUDA ESS + early ray
+    termination (``kilonerf_mlp.py:29-190`` reorder + occupancy mask,
+    ``multi_modules.py``); the TPU redesign is the same static two-pass
+    pattern as the NGP march (ngp_march.py): test ``n_candidates``
+    uniform steps against the occupancy grid, keep the first ``n_keep``
+    live samples per ray (z-ordered front compaction == the reference's
+    transmittance-ordered recount with its T-break disabled). Returns
+    (z_keep [N,K], mask [N,K], dt [N,1]).
+    """
+    n = rays_o.shape[0]
+    S = n_candidates
+    # endpoint lattice matching sample_along_rays(perturb=False) so the
+    # kept samples land exactly on the full path's sample positions
+    u = jnp.linspace(0.0, 1.0, S, dtype=rays_o.dtype)
+    z = near + (far - near) * u[None, :]  # [N, S]
+    dt = (far - near) / max(S - 1, 1)  # [N, 1]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    ores = jnp.asarray(occ.shape)
+    rel = (pts - domain_min) / (domain_max - domain_min)
+    inb = jnp.all((rel >= 0) & (rel < 1), axis=-1)
+    cell = jnp.clip(jnp.floor(rel * ores).astype(jnp.int32), 0, ores - 1)
+    flat_occ = occ.reshape(-1)
+    cidx = cell[..., 0] * (ores[1] * ores[2]) + cell[..., 1] * ores[2] + cell[..., 2]
+    live = flat_occ[cidx] & inb  # [N, S]
+    sort_key = jnp.where(live, z, jnp.inf)
+    order = jnp.argsort(sort_key, axis=-1)[:, :n_keep]
+    z_keep = jnp.take_along_axis(z, order, axis=-1)
+    mask = jnp.take_along_axis(live, order, axis=-1)
+    z_keep = jnp.where(mask, z_keep, far)
+    return z_keep, mask, dt
+
+
 @NETWORKS.register
 class KiloNerfNetwork(BaseNetwork):
     """Finetune/inference network over a fixed grid of tiny MLPs."""
@@ -43,6 +88,7 @@ class KiloNerfNetwork(BaseNetwork):
     multires: int = 10
     multires_dirs: int = 4
     n_samples: int = 384
+    n_keep: int = 32  # inference ESS budget; 0 = evaluate all n_samples
     capacity_factor: float = 2.0
     white_bkgd: bool = True
     view_dep_reg: float = 1e-6
@@ -78,6 +124,9 @@ class KiloNerfNetwork(BaseNetwork):
         dmin = jnp.asarray(self.domain_min)
         dmax = jnp.asarray(self.domain_max)
 
+        if not train and aux is not None and self.n_keep > 0:
+            return self._render_fast(batch, aux, dmin, dmax, viewdirs)
+
         z_vals = sample_along_rays(
             rng if train else None, near, far, self.n_samples, perturb=train
         )
@@ -104,6 +153,44 @@ class KiloNerfNetwork(BaseNetwork):
             white_bkgd=self.white_bkgd,
         )
         return {"rgb": ret["rgb"], "disp": ret["disp"], "acc": ret["acc"], "depth": ret["depth"]}
+
+    def _render_fast(self, batch, occ, dmin, dmax, viewdirs):
+        """ESS + keep-K inference path (reference bar: 365-394 ms/frame,
+        ``/root/reference/docs/en/benchmark.md:117-136``). Marches
+        ``n_samples`` candidates, evaluates only ``n_keep`` live samples
+        through the gather-only MoE dispatch, composites with the fixed
+        candidate step as dt."""
+        rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+        z_keep, mask, dt = kilonerf_march(
+            rays_o, rays_d, batch["near"], batch["far"], occ,
+            dmin, dmax, self.n_samples, self.n_keep,
+        )
+        n, k = z_keep.shape
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_keep[..., None]
+        flat = pts.reshape(n * k, 3)
+        net_idx, local = assign_networks(flat, dmin, dmax, self.resolution)
+        net_idx = jnp.where(mask.reshape(-1), net_idx, -1)
+        dirs_flat = jnp.repeat(viewdirs, k, axis=0)
+        raw_rgb, raw_sigma = self.mlp(
+            local, dirs_flat, net_idx, gather_dispatch=True
+        )
+        rgb = jax.nn.sigmoid(raw_rgb.reshape(n, k, 3).astype(jnp.float32))
+        sigma = jax.nn.relu(raw_sigma.reshape(n, k).astype(jnp.float32))
+        sigma = jnp.where(mask, sigma, 0.0)
+        dists = dt * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        alpha = 1.0 - jnp.exp(-sigma * dists)
+        trans = jnp.concatenate(
+            [jnp.ones_like(alpha[..., :1]),
+             jnp.cumprod(1.0 - alpha[..., :-1] + 1e-10, axis=-1)], -1
+        )
+        weights = alpha * trans
+        rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+        acc = jnp.sum(weights, axis=-1)
+        depth = jnp.sum(weights * z_keep, axis=-1)
+        disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+        if self.white_bkgd:
+            rgb_map = rgb_map + (1.0 - acc[..., None])
+        return {"rgb": rgb_map, "disp": disp, "acc": acc, "depth": depth}
 
     def init_aux(self, params, dataset=None) -> Optional[jnp.ndarray]:
         """Occupancy aux from the pretrain phase's grid file (the
