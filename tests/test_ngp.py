@@ -257,6 +257,137 @@ def test_generate_grid_samples_bias():
     assert np.all(np.asarray(cells[64:]) == 1000)
 
 
+def test_generate_grid_samples_exact_past_2e24_occupied():
+    """VERDICT r2 #9: the int32-CDF inversion must stay exact when the
+    occupied count exceeds 2^24 (where a float32 running count saturates;
+    9 cascades x 128^3 = 18.9M cells). All-occupied grid: biased samples
+    must be uniform over the FULL range, including cells past 2^24."""
+    C = 9
+    grid = create_grid(C, res=128)  # 18,874,368 cells > 2^24
+    grid = grid._replace(density=jnp.ones_like(grid.density))
+    n = 65536
+    pos, casc, cells = generate_grid_samples(
+        jax.random.PRNGKey(1), grid, 0, n, 0.5, res=128
+    )
+    flat = np.asarray(casc).astype(np.int64) * 128**3 + np.asarray(cells)
+    assert flat.min() >= 0 and flat.max() < C * 128**3
+    # with a saturated f32 cumsum no draw could ever land past 2^24; the
+    # exact int32 CDF must put ~11.1% of draws there (2.1M/18.9M).
+    frac_high = (flat > 2**24).mean()
+    assert 0.08 < frac_high < 0.15, frac_high
+    # roughly uniform over cascades
+    counts = np.bincount(np.asarray(casc), minlength=C)
+    assert counts.min() > n / C * 0.8
+
+
+def test_init_aux_marks_untrained_and_update_keeps_them():
+    """VERDICT r2 #4: init_aux must consume the dataset's cameras
+    (mark_untrained_density_grid parity) and update_aux must never
+    revive frustum-culled cells."""
+    import types
+
+    from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
+
+    # one camera at the +z face looking toward -z (OpenGL), narrow fov
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.5, 0.5, 1.5]
+    ds = types.SimpleNamespace(
+        poses_ngp=pose[None], i_train=np.asarray([0]), focal=800.0, H=100, W=100
+    )
+    net = HashNerfNetwork(
+        n_levels=2, log2_table_size=12, max_res=32, grid_res=32,
+        n_candidates=32, n_keep=8, grid_update_samples=1024,
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "rays_o": jnp.asarray(rng.rand(8, 3).astype(np.float32)),
+        "rays_d": jnp.asarray(rng.randn(8, 3).astype(np.float32)),
+        "target": jnp.asarray(rng.rand(8, 3).astype(np.float32)),
+    }
+    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False)["params"]
+    grid = net.init_aux(params, ds)
+    dens = np.asarray(grid.density[0])
+    n_untrained = (dens == -1.0).sum()
+    # narrow frustum: most of the cube is never seen, but some cells are
+    assert n_untrained > 0.5 * dens.size
+    assert n_untrained < dens.size
+    # updates never revive untrained cells
+    grid2 = net.update_aux(params, grid, jnp.asarray(16), jax.random.PRNGKey(1))
+    dens2 = np.asarray(grid2.density[0])
+    assert np.all(dens2[dens == -1.0] == -1.0)
+    assert not np.asarray(grid2.bitfield[0])[dens == -1.0].any()
+
+
+def test_march_cone_angle_schedule():
+    """cone_angle > 0 must produce the NGP stepping rule
+    dt = clamp(t*cone, dt_min, dt_max) on a 2-cascade grid."""
+    grid = create_grid(2)
+    o = jnp.asarray([[0.5, 0.5, -1.2]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    S, K = 256, 64
+    m = march_rays(None, o, d, grid, n_candidates=S, n_keep=K, cone_angle=0.02)
+    z = np.asarray(m.z_vals[0])
+    dt = np.asarray(m.dt[0])
+    live = np.asarray(m.mask[0])
+    dt_min = np.sqrt(3.0) / S
+    dt_max = dt_min * 2.0
+    assert live.any()
+    zl, dtl = z[live], dt[live]
+    np.testing.assert_allclose(
+        dtl, np.clip(zl * 0.02, dt_min, dt_max), rtol=1e-4
+    )
+    assert np.all(np.diff(zl) > 0)
+    # 2-cascade box spans [-0.5, 1.5]: samples must reach the outer cascade
+    pts = np.asarray(m.pts[0][live])
+    assert np.abs(pts - 0.5).max() > 0.51
+
+
+def test_hashnerf_two_cascade_training_step():
+    """A bound>1 (2-cascade) scene must train: loss finite and grid
+    update touches both cascades."""
+    import optax
+
+    from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
+
+    net = HashNerfNetwork(
+        n_levels=4, log2_table_size=12, max_res=64, grid_res=32,
+        n_cascades=2, cone_angle=0.01, n_candidates=64, n_keep=16,
+        grid_update_samples=2048,
+    )
+    rng = np.random.RandomState(0)
+    n = 64
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(0.5 + 1.2 * d),
+        "rays_d": jnp.asarray(-d),
+        "target": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+    }
+    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False)["params"]
+    aux = net.init_aux(params)
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, aux, k):
+        def lf(p):
+            out = net.apply({"params": p}, batch, rng=k, train=True, aux=aux)
+            return net.loss(out, batch)[0]
+
+        loss, g = jax.value_and_grad(lf)(params)
+        upd, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt2, loss
+
+    for i in range(3):
+        params, opt, loss = step(params, opt, aux, jax.random.PRNGKey(i))
+        aux = net.update_aux(params, aux, jnp.asarray(i * 16), jax.random.PRNGKey(100 + i))
+        assert np.isfinite(float(loss))
+    assert aux.density.shape[0] == 2
+    # both cascades received density updates
+    assert float(jnp.abs(aux.density[0]).max()) > 0
+    assert float(jnp.abs(aux.density[1]).max()) > 0
+
+
 # ---------------------------------------------------------------- marching
 def test_aabb_intersect():
     o = jnp.asarray([[-1.0, 0.5, 0.5], [0.5, 0.5, 0.5], [2.0, 0.5, 0.5]])

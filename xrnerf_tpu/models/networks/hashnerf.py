@@ -29,6 +29,7 @@ from ..samplers.occupancy import (
     OccupancyGrid,
     create_grid,
     generate_grid_samples,
+    mark_untrained_cells,
     splat_density,
     update_bitfield,
 )
@@ -50,6 +51,9 @@ class HashNerfNetwork(BaseNetwork):
     grid_res: int = 128
     n_candidates: int = 512
     n_keep: int = 64
+    # NGP stepping cone (raymarch_shared.h calc_dt): 0 for single-cascade
+    # blender scenes; instant-ngp uses ~1/256 for multi-cascade scenes.
+    cone_angle: float = 0.0
     white_bkgd: bool = True
     # grid update
     grid_update_samples: int = 65536
@@ -114,6 +118,7 @@ class HashNerfNetwork(BaseNetwork):
             grid,
             n_candidates=self.n_candidates,
             n_keep=self.n_keep,
+            cone_angle=self.cone_angle,
             res=self.grid_res,
         )
         n, k, _ = march.pts.shape
@@ -146,7 +151,26 @@ class HashNerfNetwork(BaseNetwork):
     # Trainer aux-state protocol (occupancy grid lifecycle)
     # ------------------------------------------------------------------
     def init_aux(self, params, dataset=None) -> OccupancyGrid:
-        return create_grid(self.n_cascades, self.grid_res)
+        """Fresh occupancy grid, with cells outside every training-camera
+        frustum marked untrained (density -1, never revived by updates) —
+        parity with ``mark_untrained_density_grid`` running at sampler
+        init (``ngp_grid_sampler.py:168-174``,
+        ``mark_untrained_density_grid.cu:6-82``)."""
+        grid = create_grid(self.n_cascades, self.grid_res)
+        poses = getattr(dataset, "poses_ngp", None)
+        if poses is not None:
+            i_train = getattr(dataset, "i_train", None)
+            if i_train is not None:
+                poses = poses[i_train]
+            grid = mark_untrained_cells(
+                grid,
+                poses,
+                float(dataset.focal),
+                int(dataset.H),
+                int(dataset.W),
+                res=self.grid_res,
+            )
+        return grid
 
     def update_aux(
         self, params, aux: OccupancyGrid, step: jnp.ndarray, rng: jax.Array

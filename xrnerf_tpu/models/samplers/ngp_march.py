@@ -74,22 +74,50 @@ def march_rays(
     cone_angle: float = 0.0,
     res: int = GRID_RES,
 ) -> MarchResult:
-    """Two-pass masked march (see module docstring)."""
+    """Two-pass masked march (see module docstring).
+
+    Candidate schedule: with ``cone_angle == 0`` (single-cascade scenes),
+    ``n_candidates`` stratified steps across [t_near, t_far]. With
+    ``cone_angle > 0`` (multi-cascade / unbounded), the NGP stepping rule
+    ``dt = clamp(t * cone_angle, dt_min, dt_max)`` with
+    dt_min = sqrt(3)/n_candidates and dt_max = dt_min * 2^(C-1)
+    (``raymarch_shared.h:41-56`` calc_dt), realised as the closed-form
+    linear -> exponential -> capped-linear lattice so shapes stay static.
+    """
     dirs = rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-10)
     bound = 0.5 * jnp.exp2(grid.n_cascades - 1)
     t_near, t_far = aabb_intersect(rays_o, dirs, 0.5 - bound, 0.5 + bound)
 
     n = rays_o.shape[0]
-    # stratified candidate steps; jittered start like ray_sampler.cu's
-    # per-ray jitter so grid aliasing decorrelates across steps
-    u = jnp.linspace(0.0, 1.0, n_candidates, dtype=rays_o.dtype)
-    if rng is not None:
-        u = u + jax.random.uniform(rng, (n, n_candidates), dtype=u.dtype) / n_candidates
+    S = n_candidates
+    if cone_angle > 0.0:
+        dt_min = SQRT3 / S
+        dt_max = dt_min * float(2 ** (grid.n_cascades - 1))
+        # per-ray start jitter (ray_sampler.cu jitters t_start once per ray)
+        i = jnp.arange(S, dtype=rays_o.dtype)[None, :]
+        if rng is not None:
+            i = i + jax.random.uniform(rng, (n, 1), dtype=rays_o.dtype)
+        tn = t_near[:, None]
+        ta = jnp.maximum(tn, dt_min / cone_angle)  # end of dt_min regime
+        tb = dt_max / cone_angle  # start of dt_max regime
+        ia = jnp.maximum((ta - tn) / dt_min, 0.0)
+        ib = ia + jnp.log(jnp.maximum(tb / ta, 1.0)) / jnp.log1p(cone_angle)
+        t_lin = tn + dt_min * i
+        t_exp = ta * jnp.exp(jnp.log1p(cone_angle) * (i - ia))
+        t_cap = tb + dt_max * (i - ib)
+        z = jnp.where(i <= ia, t_lin, jnp.where(i <= ib, t_exp, t_cap))
+        dt = jnp.clip(z * cone_angle, dt_min, dt_max)  # [N, S]
     else:
-        u = jnp.broadcast_to(u, (n, n_candidates))
-    span = (t_far - t_near)[:, None]
-    z = t_near[:, None] + u * span  # [N, S]
-    dt_candidate = span / n_candidates
+        # stratified candidate steps; jittered so grid aliasing
+        # decorrelates across steps
+        u = jnp.linspace(0.0, 1.0, S, dtype=rays_o.dtype)
+        if rng is not None:
+            u = u + jax.random.uniform(rng, (n, S), dtype=u.dtype) / S
+        else:
+            u = jnp.broadcast_to(u, (n, S))
+        span = (t_far - t_near)[:, None]
+        z = t_near[:, None] + u * span  # [N, S]
+        dt = jnp.broadcast_to(span / S, z.shape)
 
     pts = rays_o[:, None, :] + dirs[:, None, :] * z[..., None]  # [N, S, 3]
     casc = _cascade_of(pts, grid.n_cascades)
@@ -101,7 +129,7 @@ def march_rays(
     z_keep = jnp.take_along_axis(z, order, axis=-1)
     mask = jnp.take_along_axis(live, order, axis=-1)
     z_keep = jnp.where(mask, z_keep, t_far[:, None])  # park dead samples at far
-    dt_keep = jnp.broadcast_to(dt_candidate, z_keep.shape)
+    dt_keep = jnp.take_along_axis(dt, order, axis=-1)
     pts_keep = rays_o[:, None, :] + dirs[:, None, :] * z_keep[..., None]
     pts_keep = jnp.clip(pts_keep, 0.5 - bound, 0.5 + bound)
     return MarchResult(pts=pts_keep, dirs=dirs, z_vals=z_keep, dt=dt_keep, mask=mask)
