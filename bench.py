@@ -1,19 +1,24 @@
-"""Benchmark: training-throughput rays/s on the flagship config.
+"""Benchmark suite: one JSON line, primary metric + extras.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary: full-size vanilla-NeRF training throughput (rays/s) — the
+flagship config (8x256 MLP, 64+128 samples, posenc 10/4, fused Pallas
+MLPs), methodology notes below. ``extras`` adds the other headline
+rows the reference's benchmark table implies (SURVEY §6 / BASELINE.md):
 
-Flagship: full-size vanilla NeRF (8x256 MLP, 64 coarse + 128 fine
-samples, posenc 10/4) — the reference's nerf_blender_base01 config. The
-reference publishes no training-throughput numbers (SURVEY §6), so
-``vs_baseline`` normalizes against REF_RAYS_S = 20_000 rays/s, a
-representative figure for the PyTorch reference's single-GPU vanilla-NeRF
-training loop on a datacenter GPU of its era (CUDA 11.1, benchmark.md env).
+  ngp_vertex_rays_s    Instant-NGP train step, tcnn-exact vertex layout
+  ngp_brick_rays_s     Instant-NGP train step, TPU-fast brick layout
+  kilonerf_frame_ms    800x800 KiloNeRF inference frame (ref: 365-394 ms)
+  mipnerf_rays_s       Mip-NeRF train step (2 levels x 128 samples)
+  lego_ttp25_s         seconds of post-compile training to reach train
+                       PSNR 25 overfitting the real reference lego
+                       fixture (2 views, 400x400) with the brick NGP —
+                       an end-to-end optimizer+kernel wall-clock metric
 
-Runs with ``fused=True``: both MLPs evaluate as single fused Pallas
-kernels (bf16 MXU operands, f32 accumulation, custom VJP with in-kernel
-remat — ops/pallas/fused_nerf_mlp.py). Measured on v5e: 70.2k rays/s vs
-45.0k unfused-f32 and 26.3k with the pre-optimization sampler; final
-losses agree to ~3e-5 so the bf16 path is quality-neutral.
+The reference publishes no training-throughput numbers (SURVEY §6);
+``vs_baseline`` normalizes the primary against REF_RAYS_S = 20_000
+rays/s, a representative figure for the PyTorch reference's single-GPU
+vanilla-NeRF loop on a datacenter GPU of its era. kilonerf_frame_ms
+carries its own reference bar (393.61 ms avg, docs/en/benchmark.md).
 
 Measurement notes:
   - K train steps are fused into ONE jitted ``lax.scan`` dispatch
@@ -21,91 +26,263 @@ Measurement notes:
     large fixed round-trip, and even locally this removes host
     involvement from the inner loop. Distinct pre-staged batches feed
     each scanned step, so this measures real training, not replay.
-  - completion is forced by fetching the final loss value (device_get);
+  - completion is forced by fetching a scalar value (device_get);
     ``block_until_ready`` alone can acknowledge before remote execution
-    drains on relayed PJRT transports, inflating rays/s past the chip's
-    FLOP roofline.
+    drains on relayed PJRT transports, inflating rays/s.
+  - every extra is independently guarded: a failure records the error
+    string instead of killing the suite.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 REF_RAYS_S = 20_000.0
+KILONERF_REF_MS = 393.61  # docs/en/benchmark.md:133-136, NSVF synthetic avg
 BATCH = 4096
-STEPS_PER_CALL = 10
-WARMUP_CALLS = 2
-CALLS = 5
+LEGO = "/root/reference/test/datasets/data/nerf_synthetic/lego"
 
 
-def _batches(n_steps, batch, seed=0):
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _ray_batches(n_steps, batch, seed=0, near=2.0, far=6.0, o_scale=1.0):
     rng = np.random.RandomState(seed)
     d = rng.randn(n_steps, batch, 3).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     return {
-        "rays_o": rng.randn(n_steps, batch, 3).astype(np.float32),
+        "rays_o": rng.randn(n_steps, batch, 3).astype(np.float32) * o_scale,
         "rays_d": d,
-        "near": np.full((n_steps, batch, 1), 2.0, np.float32),
-        "far": np.full((n_steps, batch, 1), 6.0, np.float32),
+        "near": np.full((n_steps, batch, 1), near, np.float32),
+        "far": np.full((n_steps, batch, 1), far, np.float32),
         "target": rng.rand(n_steps, batch, 3).astype(np.float32),
     }
 
 
-def main():
+def _train_throughput(net, batches, steps, calls, aux=None, warmup=2, seed=0):
+    """Scan-fused training throughput; returns rays/s."""
     import jax
-    import jax.numpy as jnp
     import optax
 
-    from xrnerf_tpu.models.networks.nerf import NerfNetwork
-
-    batches = {k: jnp.asarray(v) for k, v in _batches(STEPS_PER_CALL, BATCH).items()}
     one = {k: v[0] for k, v in batches.items()}
-
-    net = NerfNetwork(
-        n_samples=64, n_importance=128, netdepth=8, netwidth=256, fused=True
-    )
-    params = net.init(jax.random.PRNGKey(0), one, rng=None, train=False)["params"]
+    params = net.init(
+        jax.random.PRNGKey(0), one, rng=None, train=False,
+        **({"aux": aux} if aux is not None else {}),
+    )["params"]
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
 
     @jax.jit
-    def run_steps(params, opt_state, batches, key):
+    def run_steps(params, opt_state, key):
         def body(carry, xs):
             params, opt_state = carry
             batch, k = xs
 
             def lf(p):
-                out = net.apply({"params": p}, batch, rng=k, train=True)
+                kw = {"aux": aux} if aux is not None else {}
+                out = net.apply({"params": p}, batch, rng=k, train=True, **kw)
                 return net.loss(out, batch)[0]
 
             loss, g = jax.value_and_grad(lf)(params)
             upd, opt_state2 = tx.update(g, opt_state)
             return (optax.apply_updates(params, upd), opt_state2), loss
 
-        keys = jax.random.split(key, STEPS_PER_CALL)
+        keys = jax.random.split(key, steps)
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), (batches, keys)
         )
         return params, opt_state, losses[-1]
 
-    key = jax.random.PRNGKey(0)
-    for i in range(WARMUP_CALLS):
-        params, opt_state, loss = run_steps(
-            params, opt_state, batches, jax.random.fold_in(key, i)
-        )
+    key = jax.random.PRNGKey(seed)
+    for i in range(warmup):
+        params, opt_state, loss = run_steps(params, opt_state, jax.random.fold_in(key, i))
     float(loss)
-
     t0 = time.perf_counter()
-    for i in range(CALLS):
+    for i in range(calls):
         params, opt_state, loss = run_steps(
-            params, opt_state, batches, jax.random.fold_in(key, 100 + i)
+            params, opt_state, jax.random.fold_in(key, 100 + i)
         )
-    final_loss = float(loss)  # forces real completion of the whole chain
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
+    batch = batches["rays_o"].shape[1]
+    return batch * steps * calls / dt
 
-    rays_s = BATCH * STEPS_PER_CALL * CALLS / dt
+
+def bench_nerf():
+    import jax.numpy as jnp
+
+    from xrnerf_tpu.models.networks.nerf import NerfNetwork
+
+    steps = 10
+    batches = {k: jnp.asarray(v) for k, v in _ray_batches(steps, BATCH).items()}
+    net = NerfNetwork(n_samples=64, n_importance=128, netdepth=8, netwidth=256, fused=True)
+    return _train_throughput(net, batches, steps, calls=5)
+
+
+def bench_ngp(layout):
+    import jax.numpy as jnp
+
+    from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
+
+    steps = 5
+    raw = _ray_batches(steps, BATCH, near=0.1, far=1.5, o_scale=0.2)
+    raw["rays_o"] = np.abs(raw["rays_o"]) % 1.0
+    del raw["near"], raw["far"]
+    batches = {k: jnp.asarray(v) for k, v in raw.items()}
+    net = HashNerfNetwork(
+        hash_layout=layout, n_lattices=2 if layout == "brick" else 1
+    )
+    aux = net.init_aux(None)
+    return _train_throughput(net, batches, steps, calls=3, aux=aux)
+
+
+def bench_mipnerf():
+    import jax.numpy as jnp
+
+    from xrnerf_tpu.models.networks.mipnerf import MipNerfNetwork
+
+    steps = 5
+    raw = _ray_batches(steps, BATCH)
+    raw["radii"] = np.full((steps, BATCH, 1), 1e-3, np.float32)
+    raw["lossmult"] = np.ones((steps, BATCH, 1), np.float32)
+    batches = {k: jnp.asarray(v) for k, v in raw.items()}
+    net = MipNerfNetwork(num_levels=2, n_samples=128, netdepth=8, netwidth=256)
+    return _train_throughput(net, batches, steps, calls=3)
+
+
+def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16):
+    import jax
+    import jax.numpy as jnp
+
+    from xrnerf_tpu.models.networks.kilonerf import KiloNerfNetwork
+
+    net = KiloNerfNetwork(
+        resolution=(res, res, res), hidden=32, n_hidden_layers=2,
+        n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    d = rng.randn(chunk, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(rng.randn(chunk, 3).astype(np.float32) * 0.1),
+        "rays_d": jnp.asarray(d),
+        "near": jnp.full((chunk, 1), 0.5, np.float32),
+        "far": jnp.full((chunk, 1), 2.5, np.float32),
+    }
+    occ = jnp.asarray(rng.rand(res * 4, res * 4, res * 4) < 0.15)
+    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False, aux=occ)[
+        "params"
+    ]
+
+    @jax.jit
+    def render_chunk(params, b):
+        return net.apply({"params": params}, b, rng=None, train=False, aux=occ)["rgb"]
+
+    n_rays = hw * hw
+    n_chunks = (n_rays + chunk - 1) // chunk
+
+    def frame():
+        acc = None
+        for _ in range(n_chunks):
+            acc = render_chunk(params, batch)
+        return float(acc[0, 0])  # forces completion
+
+    frame()  # compile + warm
+    t0 = time.perf_counter()
+    frames = 2
+    for _ in range(frames):
+        frame()
+    return (time.perf_counter() - t0) / frames * 1e3  # ms
+
+
+def bench_lego_time_to_psnr(target_psnr=25.0, max_steps=3000, batch=8192):
+    """Post-compile seconds of brick-NGP training to reach train PSNR
+    ``target_psnr`` on the real 2-view lego fixture (half res)."""
+    import os
+
+    if not os.path.isdir(LEGO):
+        raise RuntimeError("reference lego fixture not mounted")
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from xrnerf_tpu.datasets.hashnerf import HashNerfDataset
+    from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
+
+    ds = HashNerfDataset(LEGO, half_res=True, testskip=1, N_rand=batch)
+    net = HashNerfNetwork(hash_layout="brick", n_lattices=2)
+    b0 = {k: jnp.asarray(v) for k, v in ds.train_batch(0).items()}
+    params = net.init(jax.random.PRNGKey(0), b0, rng=None, train=False)["params"]
+    aux = net.init_aux(params, ds)
+    tx = optax.adam(1e-2, b2=0.99, eps=1e-15)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, aux, batch, k):
+        def lf(p):
+            out = net.apply({"params": p}, batch, rng=k, train=True, aux=aux)
+            loss, logs = net.loss(out, batch)
+            return loss, logs["psnr"]
+
+        (loss, psnr), g = jax.value_and_grad(lf, has_aux=True)(params)
+        upd, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt2, psnr
+
+    upd_aux = jax.jit(net.update_aux)
+
+    key = jax.random.PRNGKey(0)
+    # compile both programs before the clock starts
+    params, opt, psnr = step(params, opt, aux, b0, key)
+    aux = upd_aux(params, aux, jnp.asarray(0), key)
+    float(psnr)
+
+    t0 = time.perf_counter()
+    for i in range(1, max_steps):
+        b = {k: jnp.asarray(v) for k, v in ds.train_batch(i).items()}
+        params, opt, psnr = step(params, opt, aux, b, jax.random.fold_in(key, i))
+        if i % 16 == 0:
+            aux = upd_aux(params, aux, jnp.asarray(i), jax.random.fold_in(key, -i))
+        if i % 50 == 0 and float(psnr) >= target_psnr:
+            break
+    dt = time.perf_counter() - t0
+    if float(psnr) < target_psnr:
+        raise RuntimeError(f"psnr {float(psnr):.2f} < {target_psnr} after {max_steps}")
+    return dt
+
+
+def main():
+    extras = {}
+
+    def guarded(name, fn, unit, vs=None):
+        try:
+            t0 = time.perf_counter()
+            v = fn()
+            log(f"[bench] {name}: {v:,.1f} {unit} ({time.perf_counter()-t0:.0f}s)")
+            entry = {"value": round(float(v), 2), "unit": unit}
+            if vs is not None:
+                entry["vs_baseline"] = round(vs(float(v)), 3)
+            extras[name] = entry
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
+            extras[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+    log("[bench] vanilla NeRF train throughput (primary)...")
+    rays_s = bench_nerf()
+    log(f"[bench] nerf: {rays_s:,.0f} rays/s")
+
+    guarded("ngp_vertex_rays_s", lambda: bench_ngp("vertex"), "rays/s")
+    guarded("ngp_brick_rays_s", lambda: bench_ngp("brick"), "rays/s")
+    guarded(
+        "kilonerf_frame_ms", bench_kilonerf_frame, "ms",
+        vs=lambda v: KILONERF_REF_MS / v,
+    )
+    guarded("mipnerf_rays_s", bench_mipnerf, "rays/s")
+    guarded("lego_ttp25_s", bench_lego_time_to_psnr, "s")
+
     print(
         json.dumps(
             {
@@ -113,6 +290,7 @@ def main():
                 "value": round(rays_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_s / REF_RAYS_S, 3),
+                "extras": extras,
             }
         )
     )
