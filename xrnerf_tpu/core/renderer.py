@@ -13,14 +13,14 @@ from typing import Callable, Dict, Optional
 import jax
 import numpy as np
 
-# jit wrappers cached per apply_fn so repeated evals don't retrace.
-# Contract: callers pass a *stable* function object (e.g. a method bound
-# once at trainer construction), not a per-call lambda.
-_JIT_CACHE: Dict[int, Callable] = {}
+# jit wrappers cached per (apply_fn, mesh) so repeated evals don't
+# retrace. Contract: callers pass a *stable* function object (e.g. a
+# method bound once at trainer construction), not a per-call lambda.
+_JIT_CACHE: Dict[tuple, Callable] = {}
 
 
-def _get_jitted(apply_fn: Callable) -> Callable:
-    key = id(apply_fn)
+def _get_jitted(apply_fn: Callable, mesh=None) -> Callable:
+    key = (id(apply_fn), id(mesh))
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(apply_fn)
     return _JIT_CACHE[key]
@@ -33,11 +33,15 @@ def render_rays_chunked(
     chunk: int = 8192,
     rng: Optional[jax.Array] = None,
     keys: tuple = ("rgb", "disp", "acc"),
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Dict[str, np.ndarray]:
     """Run ``apply_fn(params, chunk_batch, rng)`` over [R, ...] rays.
 
     ``apply_fn`` must be jittable with train=False semantics baked in.
-    Returns host numpy arrays of leading dim R.
+    Returns host numpy arrays of leading dim R. With ``mesh``, chunk ray
+    batches are sharded along the mesh's data axis so eval renders use
+    every chip instead of wasting N-1 of them (the reference renders
+    rank-0-only; GSPMD splits ours across the pod).
     """
     # ``ctx_*`` keys (and scalars) are per-item context shared by every
     # chunk (e.g. SMPL vertices, frame index); only ray keys get chunked.
@@ -57,11 +61,18 @@ def render_rays_chunked(
         else v
         for k, v in ray_keys.items()
     }
-    jitted = _get_jitted(apply_fn)
+    jitted = _get_jitted(apply_fn, mesh)
+    data_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sh = NamedSharding(mesh, PartitionSpec("data"))
     outs: Dict[str, list] = {k: [] for k in keys}
     total = n + n_pad
     for start in range(0, total, chunk):
         cb = {k: jax.numpy.asarray(v[start : start + chunk]) for k, v in padded.items()}
+        if data_sh is not None:
+            cb = {k: jax.device_put(v, data_sh) for k, v in cb.items()}
         cb.update(ctx)
         ret = jitted(params, cb, rng)
         for k in keys:
@@ -80,8 +91,9 @@ def render_image(
     chunk: int = 8192,
     rng: Optional[jax.Array] = None,
     keys: tuple = ("rgb", "disp", "acc"),
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Dict[str, np.ndarray]:
-    flat = render_rays_chunked(apply_fn, params, rays, chunk, rng, keys)
+    flat = render_rays_chunked(apply_fn, params, rays, chunk, rng, keys, mesh)
     out = {}
     for k, v in flat.items():
         out[k] = v.reshape(H, W, *v.shape[1:])

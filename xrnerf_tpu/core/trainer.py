@@ -281,7 +281,8 @@ class Trainer:
     def render_image(self, rays: Dict[str, np.ndarray], H: int, W: int):
         p = (self.eval_params, self.aux) if self.has_aux else self.eval_params
         return _render_image(
-            self._eval_apply, p, rays, H, W, chunk=self.eval_chunk
+            self._eval_apply, p, rays, H, W, chunk=self.eval_chunk,
+            mesh=self.mesh,
         )
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):

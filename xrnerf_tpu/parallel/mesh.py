@@ -25,9 +25,16 @@ MODEL_AXIS = "model"
 
 
 def init_distributed(coordinator: Optional[str] = None, **kw) -> None:
-    """Multi-host bring-up; no-op on single host setups."""
-    if jax.process_count() > 1 or coordinator is not None:
+    """Multi-host bring-up; no-op on single host setups.
+
+    Must run before anything touches the XLA backend, so the coordinator
+    check comes first — ``jax.process_count()`` itself initializes the
+    backend and would poison ``jax.distributed.initialize``.
+    """
+    if coordinator is not None:
         jax.distributed.initialize(coordinator_address=coordinator, **kw)
+    elif jax.process_count() > 1:  # env-configured (TPU pod) bring-up
+        jax.distributed.initialize(**kw)
 
 
 def make_mesh(
