@@ -522,6 +522,48 @@ def test_hashnerf_forward_loss_grid_update():
     assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
 
 
+def test_sample_budget_hook_buckets():
+    """Bucketed replacement for ngp_grid_sampler.py:268-281's dynamic
+    batch feedback: bucket choice tracks live_frac, moves N_rand."""
+    from xrnerf_tpu.core.hooks import SampleBudgetHook
+
+    h = SampleBudgetHook(target_samples=2**18, buckets=(1024, 2048, 4096, 8192, 16384))
+    # all samples live, n_keep 64 -> 4096 rays exactly fills 2^18
+    h._frac = 1.0
+    assert h.pick(64) == 4096
+    # 25% live -> 4x more rays fit the same budget
+    h._frac = 0.25
+    assert h.pick(64) == 16384
+    # 60% live -> needed ~6826 -> round DOWN to 4096 (never exceed budget)
+    h._frac = 0.6
+    assert h.pick(64) == 4096
+    # pathological tiny frac clamps to the largest bucket
+    h._frac = 1e-6
+    assert h.pick(64) == 16384
+
+
+def test_sample_budget_hook_in_trainer(synthetic_scene, tmp_path):
+    """Trainer + hook integration: N_rand moves to the bucket implied by
+    the observed live_frac and training continues across the reshape."""
+    from xrnerf_tpu.core.hooks import SampleBudgetHook
+    from xrnerf_tpu.core.trainer import Trainer
+    from xrnerf_tpu.datasets.hashnerf import HashNerfDataset
+
+    ds = HashNerfDataset(datadir=synthetic_scene, N_rand=64, testskip=1)
+    net = _tiny_ngp()
+    hook = SampleBudgetHook(target_samples=2048, buckets=(32, 64, 128, 256))
+    tr = Trainer(
+        net, ds, optimizer={"lr": 1e-2}, work_dir=str(tmp_path), max_iters=30,
+        ckpt_interval=0, log_interval=10, eval_chunk=256, hooks=[hook],
+    )
+    state = tr.run()
+    assert int(state.step) == 30
+    assert np.isfinite(tr.last_logs["loss"])
+    # live_frac was observed and a bucket decision applied
+    assert hook._frac is not None
+    assert ds.N_rand == hook.pick(net.n_keep)
+
+
 def test_hashnerf_trainer_end_to_end(synthetic_scene, tmp_path):
     from xrnerf_tpu.core.trainer import Trainer
     from xrnerf_tpu.datasets.hashnerf import HashNerfDataset

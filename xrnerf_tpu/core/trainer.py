@@ -310,7 +310,6 @@ class Trainer:
 
         window_logs: Dict[str, list] = {}
         t_window = time.perf_counter()
-        rays_per_step = self.dataset.N_rand * num_hosts
 
         from .prefetch import BatchPrefetcher
 
@@ -346,7 +345,8 @@ class Trainer:
                 # one host sync per window only
                 vals = {k: float(np.mean(jax.device_get(v))) for k, v in window_logs.items()}
                 dt = time.perf_counter() - t_window
-                rays_s = rays_per_step * self.log_interval / dt
+                # N_rand may move between buckets (SampleBudgetHook)
+                rays_s = self.dataset.N_rand * num_hosts * self.log_interval / dt
                 self.logger.info(
                     "iter %d/%d  %s  %.0f rays/s  %.1f ms/it",
                     step,
