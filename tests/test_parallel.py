@@ -123,3 +123,50 @@ def test_kilonerf_expert_parallel_sharding():
     mu = tr.state.opt_state[0].mu["mlp"]["hidden_0_w"]
     assert mu.sharding.spec == w.sharding.spec
     tr.run()  # two steps execute without resharding errors
+
+
+@needs_multi
+def test_scatter_add_rows_sharded_psum_of_partials():
+    """With a mesh registered, hash-table gradient scatters run
+    shard-local over the data axis and psum partial tables — result must
+    equal the single-device scatter, and a brick-encoding table gradient
+    must be unchanged under the mesh."""
+    from xrnerf_tpu.ops.pallas.scatter_rows import (
+        scatter_add_rows,
+        set_scatter_mesh,
+    )
+
+    mesh = make_mesh(n_model=1)
+    rng = np.random.RandomState(0)
+    n, w, rows = 8 * 1024, 16, 256
+    idx = jnp.asarray(rng.randint(0, rows, size=(n,)).astype(np.int32))
+    vals = jnp.asarray(rng.randn(n, w).astype(np.float32))
+    ref = np.asarray(scatter_add_rows(idx, vals, rows))
+    try:
+        set_scatter_mesh(mesh, "data")
+        idx_s = jax.device_put(idx, batch_sharding(mesh))
+        vals_s = jax.device_put(vals, batch_sharding(mesh))
+        out = jax.jit(lambda i, v: scatter_add_rows(i, v, rows))(idx_s, vals_s)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+        # full brick-encoding gradient under the mesh
+        from xrnerf_tpu.models.embedders.hashenc import BrickHashEncoding
+
+        enc = BrickHashEncoding(
+            n_levels=2, n_features=2, log2_table_size=10, base_res=4, max_res=16
+        )
+        x = jnp.asarray(rng.rand(64, 3).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+        def lf(p, xx):
+            return jnp.sum(enc.apply({"params": p}, xx) ** 2)
+
+        g_ref = jax.grad(lf)(params, x)
+        set_scatter_mesh(mesh, "data")
+        x_s = jax.device_put(x, batch_sharding(mesh))
+        g_mesh = jax.jit(jax.grad(lf))(params, x_s)
+        np.testing.assert_allclose(
+            np.asarray(g_mesh["table"]), np.asarray(g_ref["table"]), atol=1e-4
+        )
+    finally:
+        set_scatter_mesh(None)

@@ -194,6 +194,10 @@ class Trainer:
         if mesh is not None:
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._repl_sharding = NamedSharding(mesh, P())
+            # hash-table gradient scatters run shard-local + psum
+            from ..ops.pallas.scatter_rows import set_scatter_mesh
+
+            set_scatter_mesh(mesh, "data")
             # Model-axis parameter sharding: networks may expose
             # ``param_spec(path) -> PartitionSpec | None`` (KiloNeRF shards
             # its expert grid, NGP its hash table). The spec is applied by

@@ -86,12 +86,54 @@ def _pallas_scatter_add_rows(
     )(idx, vals)
 
 
+def _scatter_local(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    if jax.default_backend() == "tpu":
+        return _pallas_scatter_add_rows(idx, vals, num_rows)
+    return jnp.zeros((num_rows, vals.shape[-1]), vals.dtype).at[idx].add(vals)
+
+
+# Optional mesh context for multi-chip scatters: (Mesh, axis_name). The
+# Pallas kernel is opaque to GSPMD, which would otherwise all-gather the
+# (data-sharded) update rows and run it replicated on every chip. With a
+# mesh registered, scatter_add_rows shard_maps over that axis instead:
+# each device scatters only its local rows into a local partial table,
+# and one psum produces the replicated gradient — the "psum of partial
+# tables" design, with the heavy row traffic staying chip-local.
+_SCATTER_MESH: tuple | None = None
+
+
+def set_scatter_mesh(mesh, axis: str = "data") -> None:
+    """Register (or clear, with ``mesh=None``) the mesh used to
+    partition hash-table gradient scatters across chips."""
+    global _SCATTER_MESH
+    _SCATTER_MESH = None if mesh is None else (mesh, axis)
+
+
 def scatter_add_rows(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int) -> jnp.ndarray:
     """``out[idx[i], :] += vals[i, :]`` over a fresh [num_rows, W] zeros.
 
     idx: [N] int32 row ids in [0, num_rows); vals: [N, W] float. Uses the
-    VMEM-resident Pallas kernel on TPU, XLA scatter-add elsewhere.
+    VMEM-resident Pallas kernel on TPU, XLA scatter-add elsewhere; with a
+    registered mesh (set_scatter_mesh) the rows are processed shard-local
+    with a single psum of partial tables.
     """
-    if jax.default_backend() == "tpu":
-        return _pallas_scatter_add_rows(idx, vals, num_rows)
-    return jnp.zeros((num_rows, vals.shape[-1]), vals.dtype).at[idx].add(vals)
+    if _SCATTER_MESH is not None:
+        mesh, ax = _SCATTER_MESH
+        n_shards = mesh.shape.get(ax, 1)
+        if n_shards > 1 and idx.shape[0] % n_shards == 0:
+            from functools import partial as _partial
+
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            @_partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(ax), P(ax, None)),
+                out_specs=P(None, None),
+            )
+            def _sharded(i, v):
+                return jax.lax.psum(_scatter_local(i, v, num_rows), ax)
+
+            return _sharded(idx, vals)
+    return _scatter_local(idx, vals, num_rows)
