@@ -199,6 +199,52 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16):
     return (time.perf_counter() - t0) / frames * 1e3  # ms
 
 
+def bench_gnr(n_rand=1024, steps=3):
+    """GNR end-to-end train step at production shape: 4x512x512 source
+    views through the stacked-hourglass encoder + per-view sampling +
+    attention-blended render, 1024 rays x 256 samples (the
+    configs/gnr/gnr_genebody.py geometry). Returns rays/s."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from xrnerf_tpu.datasets.genebody import GeneBodyDataset
+    from xrnerf_tpu.datasets.load.synthetic import make_synthetic_genebody
+    from xrnerf_tpu.models.networks.gnr import GnrNetwork
+
+    arrays = make_synthetic_genebody(n_frames=1, n_cams=4, H=512, W=512)
+    ds = GeneBodyDataset(arrays=arrays, num_views=4, input_views=(0, 1, 2, 3), N_rand=n_rand)
+    batch = {k: jnp.asarray(v) for k, v in ds.train_batch(0).items()}
+    net = GnrNetwork(
+        num_views=4, n_samples=256, load_size=512, num_stack=4,
+        num_hourglass=2, hourglass_dim=256, mlp_depth=8, mlp_width=256,
+        skips=(2, 4, 6),
+    )
+    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False)["params"]
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, k):
+        def lf(p):
+            out = net.apply({"params": p}, batch, rng=k, train=True)
+            return net.loss(out, batch)[0]
+
+        loss, g = jax.value_and_grad(lf)(params)
+        upd, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt2, loss
+
+    key = jax.random.PRNGKey(0)
+    params, opt, loss = step(params, opt, key)
+    float(loss)  # compile + drain
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt, loss = step(params, opt, jax.random.fold_in(key, i))
+    assert np.isfinite(float(loss))
+    dt = time.perf_counter() - t0
+    return n_rand * steps / dt
+
+
 def bench_lego_time_to_psnr(target_psnr=25.0, max_steps=3000, batch=8192):
     """Post-compile seconds of brick-NGP training to reach train PSNR
     ``target_psnr`` on the real 2-view lego fixture (half res)."""
@@ -281,6 +327,7 @@ def main():
         vs=lambda v: KILONERF_REF_MS / v,
     )
     guarded("mipnerf_rays_s", bench_mipnerf, "rays/s")
+    guarded("gnr_rays_s", bench_gnr, "rays/s")
     guarded("lego_ttp25_s", bench_lego_time_to_psnr, "s")
 
     print(
