@@ -127,6 +127,18 @@ def _brick_enc():
     )
 
 
+def test_scatter_add_rows_skip_zero_rows():
+    rng = np.random.RandomState(2)
+    n, w, rows = 1024, 16, 64
+    idx = jnp.asarray(rng.randint(0, rows, size=(n,)).astype(np.int32))
+    vals = rng.randn(n, w).astype(np.float32)
+    vals[::3] = 0.0  # a third of the rows dead
+    vals = jnp.asarray(vals)
+    ref = jnp.zeros((rows, w), jnp.float32).at[idx].add(vals)
+    out = scatter_add_rows(idx, vals, rows, skip_zero_rows=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_brick_encoding_shapes_param_budget_and_continuity_inside_cell():
     enc = _brick_enc()
     x = jnp.asarray([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])

@@ -142,7 +142,9 @@ def _vertex_bwd(cfg, residuals, g):
     vals = jnp.where((lane[None, None, :] // F) == sub[..., None], vals, 0.0)
     grad_table = jnp.stack(
         [
-            scatter_add_rows(idx2[l] >> 3, vals[l], T // 8).reshape(T, F)
+            scatter_add_rows(
+                idx2[l] >> 3, vals[l], T // 8, skip_zero_rows=True
+            ).reshape(T, F)
             for l in range(L)
         ]
     ).astype(table.dtype)
@@ -325,7 +327,12 @@ def _brick_bwd(cfg, residuals, g):
         grad_rows = w8[..., None] * g3[:, :, None, :]  # [L,N,8,F]
         gr2 = grad_rows.reshape(L, n, 8 * f)
         grad_lat.append(
-            jnp.stack([scatter_add_rows(idx[l], gr2[l], tb) for l in range(L)])
+            jnp.stack(
+                [
+                    scatter_add_rows(idx[l], gr2[l], tb, skip_zero_rows=True)
+                    for l in range(L)
+                ]
+            )
         )  # [L, tb, 8F]
 
         # --- position gradient: d(out)/dx through the trilerp weights ---
