@@ -27,6 +27,9 @@ model = dict(
     grid_update_samples=65536,
     density_threshold=0.01,
     loss_scale=5.0,
+    # bound>1 scenes: raise n_cascades and set cone_angle ~1/256 for
+    # NGP's distance-proportional stepping (raymarch_shared.h calc_dt).
+    cone_angle=0.0,
     # 'vertex' = tcnn-exact quality; 'brick' (+ n_lattices=2) trains ~29x
     # faster on TPU at a measured quality cost — see docs/benchmark.md.
     hash_layout="vertex",
@@ -46,4 +49,8 @@ optimizer = dict(type="adam", lr=1e-2, eps=1e-15, beta1=0.9, beta2=0.99, lr_deca
 hooks = [
     dict(type="ValidateHook", save_img=True, max_images=2),
     dict(type="ElapsedTimeHook", n_images=3),
+    # bucketed static-shape replacement for the reference's dynamic
+    # n_rays_per_batch feedback (ModifyBatchsizeHook +
+    # ngp_grid_sampler.py:268-281, target 2^18 samples/step)
+    dict(type="SampleBudgetHook", target_samples=2**18),
 ]
