@@ -227,6 +227,36 @@ def test_icosphere_watertight():
     assert len(v) - len(edges) + len(f) == 2
 
 
+def test_reconstruct_gnr_sphere_mesh():
+    """An analytic occupancy sphere must reconstruct a real, non-empty
+    mesh with vertices on the sphere and colors sampled at the surface."""
+    from xrnerf_tpu.models.renders.gnr_render import reconstruct_gnr
+
+    center = np.zeros(3, np.float32)
+    spatial_freq = 16.0  # world extent = load_size/spatial_freq/2 = 1.0
+    radius = 0.5
+
+    def density(pts):
+        return jax.nn.sigmoid(
+            50.0 * (radius - jnp.linalg.norm(pts - center, axis=-1))
+        )
+
+    def color(pts, normals):
+        return 0.5 * (normals + 1.0)
+
+    verts, faces, rgbs = reconstruct_gnr(
+        density, color, center=center, spatial_freq=spatial_freq,
+        load_size=32, n_grid=32, chunk=8192, laplacian=2,
+    )
+    assert len(verts) > 100 and len(faces) > 100
+    assert rgbs.shape == (len(verts), 3)
+    r = np.linalg.norm(verts - center, axis=-1)
+    # vertices sit on the sphere (within a voxel of slack + smoothing)
+    assert abs(float(np.median(r)) - radius) < 0.08
+    # faces index valid vertices
+    assert faces.min() >= 0 and faces.max() < len(verts)
+
+
 def test_gnr_reconstruct(gb_arrays):
     """Mesh reconstruction through the network's density/color queries."""
     from xrnerf_tpu.models.renders.gnr_render import reconstruct_gnr
