@@ -157,11 +157,11 @@ def test_brick_encoding_shapes_param_budget_and_continuity_inside_cell():
     assert enc.apply({"params": params}, jnp.zeros((5, 7, 3))).shape == (5, 7, 8)
 
 
-@pytest.mark.parametrize("n_lat", [1, 2])
-def test_brick_custom_vjp_matches_autodiff_of_reference_formulation(n_lat):
+@pytest.mark.parametrize("n_lat,blend", [(1, False), (2, False), (2, True)])
+def test_brick_custom_vjp_matches_autodiff_of_reference_formulation(n_lat, blend):
     enc = BrickHashEncoding(
         n_levels=4, n_features=2, log2_table_size=14, base_res=4, max_res=32,
-        n_lattices=n_lat,
+        n_lattices=n_lat, blend="smooth" if blend else "mean",
     )
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.rand(33, 3).astype(np.float32))
@@ -177,7 +177,7 @@ def test_brick_custom_vjp_matches_autodiff_of_reference_formulation(n_lat):
 
     scale = per_level_scale(32, 4, 4)
     res = tuple(int(r) for r in _level_resolutions(4, scale, 4))
-    cfg = (res, (1 << 11) // n_lat, 2, n_lat)
+    cfg = (res, (1 << 11) // n_lat, 2, n_lat, blend)
 
     def loss_plain(tab, xx):
         return jnp.sum(_brick_impl(tab, xx, cfg) * cot)
@@ -191,6 +191,35 @@ def test_brick_custom_vjp_matches_autodiff_of_reference_formulation(n_lat):
     gt, gx = jax.grad(loss_vjp, argnums=(0, 1))(table, x)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_brick_smooth_blend_is_continuous_across_cell_faces():
+    """With blend='smooth', the dual-lattice brick field is continuous
+    across lattice cell faces (the mean blend jumps there)."""
+    kw = dict(n_levels=1, n_features=2, log2_table_size=8, base_res=9,
+              max_res=9, n_lattices=2)
+    # straddle an interior face plane of lattice 0 (x = 2/8 at res 9),
+    # with y/z interior to BOTH lattices' cells: near face-face edges the
+    # blend stays continuous but its Lipschitz constant grows (both
+    # bumps small), so the tight bound is probed away from edges
+    eps = 1e-5
+    y = np.full(16, 0.40, np.float32)
+    z = np.linspace(0.39, 0.42, 16).astype(np.float32)
+    lo = np.stack([np.full(16, 0.25 - eps, np.float32), y, z], -1)
+    hi = np.stack([np.full(16, 0.25 + eps, np.float32), y, z], -1)
+
+    jumps = {}
+    for blend in ("mean", "smooth"):
+        enc = BrickHashEncoding(blend=blend, **kw)
+        params = enc.init(jax.random.PRNGKey(7), jnp.asarray(lo))["params"]
+        # make per-cell features wildly different so face jumps are visible
+        params = {"table": jax.random.normal(jax.random.PRNGKey(8),
+                                             params["table"].shape)}
+        a = enc.apply({"params": params}, jnp.asarray(lo))
+        b = enc.apply({"params": params}, jnp.asarray(hi))
+        jumps[blend] = float(jnp.max(jnp.abs(a - b)))
+    assert jumps["smooth"] < 1e-3, jumps
+    assert jumps["mean"] > 20 * jumps["smooth"], jumps
 
 
 def test_brick_dense_level_is_injective_trilerp_at_corners():

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LEGO = "/root/reference/test/datasets/data/nerf_synthetic/lego"
 
 
-def run(layout: str, iters: int, half_res: bool, batch: int):
+def run(layout: str, iters: int, half_res: bool, batch: int, blend: str = "mean"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -39,7 +39,8 @@ def run(layout: str, iters: int, half_res: bool, batch: int):
 
     ds = HashNerfDataset(LEGO, half_res=half_res, testskip=1, N_rand=batch)
     net = HashNerfNetwork(
-        hash_layout=layout, n_lattices=2 if layout == "brick" else 1
+        hash_layout=layout, n_lattices=2 if layout == "brick" else 1,
+        brick_blend=blend,
     )
     b0 = {k: jnp.asarray(v) for k, v in ds.train_batch(0).items()}
     params = net.init(jax.random.PRNGKey(0), b0, rng=None, train=False)["params"]
@@ -107,6 +108,7 @@ def run(layout: str, iters: int, half_res: bool, batch: int):
 
     return {
         "layout": layout,
+        "blend": blend,
         "iters": iters,
         "train_psnr": round(train_psnr, 2),
         "train_seconds": round(train_s, 1),
@@ -122,12 +124,16 @@ def main():
     p.add_argument("--iters", type=int, default=3000)
     p.add_argument("--half_res", action="store_true")
     p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--blend", default="mean", choices=["mean", "smooth"])
     args = p.parse_args()
     if not os.path.isdir(LEGO):
         sys.exit("reference lego fixture not mounted")
 
     layouts = ["brick", "vertex"] if args.layout == "both" else [args.layout]
-    results = [run(lo, args.iters, args.half_res, args.batch) for lo in layouts]
+    results = [
+        run(lo, args.iters, args.half_res, args.batch, args.blend)
+        for lo in layouts
+    ]
     print(json.dumps(results, indent=1))
 
 

@@ -134,20 +134,31 @@ def _vertex_bwd(cfg, residuals, g):
     grad_rows = w8[..., None] * g3[:, :, None, :]  # [L, N, 8, F]
 
     # --- table gradient: per-level packed-row VMEM scatter ---
+    # Strictly per-level: building the packed [L, N*8, 8F] value rows in
+    # one shot materializes a 16 GB lane-padded HBM temp (minor dim 16
+    # pads 8x under T(8,128)); sliced per level, the one-hot packing is
+    # a pure elementwise producer that XLA fuses straight into the
+    # Pallas kernel's operand tiles (allow_input_fusion), so the rows
+    # never exist in HBM at all.
     idx2 = idx.reshape(L, n * 8)
     gr = grad_rows.reshape(L, n * 8, F)
     lane = jnp.arange(8 * F, dtype=jnp.int32)  # [8F]
-    sub = idx2 & 7  # which of the 8 packed slots
-    vals = jnp.take(gr, lane % F, axis=-1)  # [L, N8, 8F]
-    vals = jnp.where((lane[None, None, :] // F) == sub[..., None], vals, 0.0)
-    grad_table = jnp.stack(
-        [
+    grads = []
+    for l in range(L):
+        il, gl = idx2[l], gr[l]  # [N8], [N8, F]
+        vals_l = jnp.take(gl, lane % F, axis=-1)  # [N8, 8F]
+        vals_l = jnp.where(
+            (lane[None, :] // F) == (il & 7)[:, None], vals_l, 0.0
+        )
+        # dead marched samples have all-zero grad rows; flag them from
+        # the narrow pre-packing rows so the serial RMW skips them
+        live = jnp.any(gl != 0.0, axis=-1)
+        grads.append(
             scatter_add_rows(
-                idx2[l] >> 3, vals[l], T // 8, skip_zero_rows=True
+                jnp.where(live, il >> 3, -1), vals_l, T // 8
             ).reshape(T, F)
-            for l in range(L)
-        ]
-    ).astype(table.dtype)
+        )
+    grad_table = jnp.stack(grads).astype(table.dtype)
 
     # --- position gradient: d(out)/dx through the trilerp weights ---
     feats = _vertex_gather(table, idx, cfg)  # remat
@@ -235,7 +246,7 @@ def _brick_cells(x: jnp.ndarray, cfg, k: int = 0) -> tuple:
     Lattice k's grid is offset by k/2 of a cell: vertices at j - k/2 in
     level units, so cell index j0 = floor(xl + k/2), ncells = res-1+k.
     """
-    res, tb, _, _ = cfg
+    res, tb = cfg[0], cfg[1]
     res_np = np.asarray(res, np.int64)
     res_f = jnp.asarray(res_np, x.dtype)[:, None, None]
     xl = x[None, :, :] * (res_f - 1.0) + 0.5 * k
@@ -270,7 +281,7 @@ def _corner_weights(t: jnp.ndarray) -> jnp.ndarray:
 
 def _brick_rows(table: jnp.ndarray, idx: jnp.ndarray, cfg, k: int) -> jnp.ndarray:
     """Gather one row per (level, point) from lattice k: [L,N] -> [L,N,8,F]."""
-    res, tb, f, n_lat = cfg
+    res, tb, f, n_lat = cfg[:4]
     L = len(res)
     n = idx.shape[1]
     flat = table.reshape(L * n_lat * tb, 8 * f)
@@ -279,17 +290,47 @@ def _brick_rows(table: jnp.ndarray, idx: jnp.ndarray, cfg, k: int) -> jnp.ndarra
     return jnp.take(flat, fidx, axis=0).reshape(L, n, 8, f)
 
 
+_BLEND_EPS = 1e-7
+
+
+def _face_bump(t: jnp.ndarray) -> jnp.ndarray:
+    """beta(t) = prod_d t_d(1-t_d): vanishes on the lattice's cell faces.
+
+    Used by the smooth blend: weighting lattice k's trilerp by its own
+    face bump (normalized across lattices) makes the blended field
+    continuous — each lattice is muted exactly where its per-cell
+    interpolation jumps, and the staggered lattices' faces never
+    coincide, so somewhere a positive weight always remains.
+    """
+    b = t * (1.0 - t)
+    return b[..., 0] * b[..., 1] * b[..., 2]  # [L,N]
+
+
 def _brick_impl(table, x, cfg):
-    res, tb, f, n_lat = cfg
+    res, tb, f, n_lat, blend = cfg
     L = len(res)
     n = x.shape[0]
-    out = 0.0
-    for k in range(n_lat):
-        idx, t = _brick_cells(x, cfg, k)
-        rows = _brick_rows(table, idx, cfg, k)
-        w8 = _corner_weights(t)
-        out = out + jnp.sum(rows * w8[..., None], axis=2)  # [L,N,F]
-    out = out / n_lat
+    if blend and n_lat > 1:
+        s, beta = [], []
+        for k in range(n_lat):
+            idx, t = _brick_cells(x, cfg, k)
+            rows = _brick_rows(table, idx, cfg, k)
+            w8 = _corner_weights(t)
+            s.append(jnp.sum(rows * w8[..., None], axis=2))  # [L,N,F]
+            beta.append(_face_bump(t))
+        B = sum(beta) + _BLEND_EPS
+        out = sum(
+            ((bk + _BLEND_EPS / n_lat) / B)[..., None] * sk
+            for bk, sk in zip(beta, s)
+        )
+    else:
+        out = 0.0
+        for k in range(n_lat):
+            idx, t = _brick_cells(x, cfg, k)
+            rows = _brick_rows(table, idx, cfg, k)
+            w8 = _corner_weights(t)
+            out = out + jnp.sum(rows * w8[..., None], axis=2)  # [L,N,F]
+        out = out / n_lat
     return jnp.moveaxis(out, 0, 1).reshape(n, L * f)
 
 
@@ -307,24 +348,43 @@ def _brick_fwd(table, x, cfg):
 def _brick_bwd(cfg, residuals, g):
     from ...ops.pallas.scatter_rows import scatter_add_rows
 
-    res, tb, f, n_lat = cfg
+    res, tb, f, n_lat, blend = cfg
     table, x = residuals
     L = len(res)
     n = x.shape[0]
+    blended = blend and n_lat > 1
 
     g3 = jnp.moveaxis(g.reshape(n, L, f).astype(jnp.float32), 0, 1)  # [L,N,F]
-    g3 = g3 / n_lat  # out = mean over lattices
     c = jnp.asarray(_CORNERS, x.dtype)  # [8,3]
     sign = jnp.where(c == 1.0, 1.0, -1.0)[None, None]  # [1,1,8,3]
+    res_f = jnp.asarray(np.asarray(res, np.float64) - 1.0, x.dtype)[:, None, None]
+
+    # Per-lattice trilerp values s_k and blend weights u_k (remat).
+    if blended:
+        ts, w8s, betas, ss = [], [], [], []
+        for k in range(n_lat):
+            idx_k, t_k = _brick_cells(x, cfg, k)
+            w8_k = _corner_weights(t_k)
+            rows_k = _brick_rows(table, idx_k, cfg, k)
+            ts.append(t_k)
+            w8s.append(w8_k)
+            betas.append(_face_bump(t_k))
+            ss.append(jnp.sum(rows_k * w8_k[..., None], axis=2))  # [L,N,F]
+        B = sum(betas) + _BLEND_EPS  # [L,N]
+        us = [(bk + _BLEND_EPS / n_lat) / B for bk in betas]
+        out_blend = sum(uk[..., None] * sk for uk, sk in zip(us, ss))
 
     grad_lat = []
     grad_x = jnp.zeros_like(x)
     for k in range(n_lat):
         idx, t = _brick_cells(x, cfg, k)
         w8 = _corner_weights(t)  # [L,N,8]
+        # d(out)/d(s_k): u_k for the smooth blend, 1/K for the mean.
+        uk = us[k][..., None] if blended else 1.0 / n_lat
+        gk = g3 * uk  # [L,N,F]
 
         # --- table gradient: per-level VMEM scatter-add ---
-        grad_rows = w8[..., None] * g3[:, :, None, :]  # [L,N,8,F]
+        grad_rows = w8[..., None] * gk[:, :, None, :]  # [L,N,8,F]
         gr2 = grad_rows.reshape(L, n, 8 * f)
         grad_lat.append(
             jnp.stack(
@@ -337,7 +397,7 @@ def _brick_bwd(cfg, residuals, g):
 
         # --- position gradient: d(out)/dx through the trilerp weights ---
         rows = _brick_rows(table, idx, cfg, k)  # remat
-        gdot = jnp.sum(rows * g3[:, :, None, :], axis=-1)  # [L,N,8]
+        gdot = jnp.sum(rows * gk[:, :, None, :], axis=-1)  # [L,N,8]
         wd = jnp.where(
             c[None, None, :, :] == 1.0, t[:, :, None, :], 1.0 - t[:, :, None, :]
         )  # [L,N,8,3] per-dim factors
@@ -351,8 +411,25 @@ def _brick_bwd(cfg, residuals, g):
             axis=-1,
         )  # [L,N,8,3]
         dw = jnp.sum(gdot[..., None] * sign * prod_others, axis=2)  # [L,N,3]
-        res_f = jnp.asarray(np.asarray(res, np.float64) - 1.0, x.dtype)[:, None, None]
         grad_x = grad_x + jnp.sum(dw * res_f, axis=0).astype(x.dtype)  # [N,3]
+
+        if blended:
+            # --- position gradient through the blend weights ---
+            # d(out)/d(beta_j) = (s_j - out) / B (normalization included),
+            # d(beta)/dt_d = (1-2t_d) * prod_{d'!=d} t(1-t).
+            gb = jnp.sum((ss[k] - out_blend) * g3, axis=-1) / B  # [L,N]
+            bq = t * (1.0 - t)  # [L,N,3]
+            dbeta = jnp.stack(
+                [
+                    (1.0 - 2.0 * t[..., 0]) * bq[..., 1] * bq[..., 2],
+                    (1.0 - 2.0 * t[..., 1]) * bq[..., 0] * bq[..., 2],
+                    (1.0 - 2.0 * t[..., 2]) * bq[..., 0] * bq[..., 1],
+                ],
+                axis=-1,
+            )  # [L,N,3]
+            grad_x = grad_x + jnp.sum(
+                gb[..., None] * dbeta * res_f, axis=0
+            ).astype(x.dtype)
 
     grad_table = (
         jnp.stack(grad_lat, axis=1).reshape(table.shape).astype(table.dtype)
@@ -372,6 +449,15 @@ class BrickHashEncoding(nn.Module):
     averaged): colliding cells differ between the lattices and every cell
     face of one lattice is interior to the other, so collision artifacts
     decorrelate and the trilerp jumps halve — at 2x the gathers.
+
+    ``blend='smooth'`` replaces the plain average with a face-bump
+    cross-fade: lattice k's trilerp is weighted by its own
+    ``prod_d t_d(1-t_d)`` (normalized across lattices), which vanishes
+    exactly on lattice k's cell faces — where its per-cell interpolation
+    jumps — while the staggered lattice still carries weight there. The
+    blended field is therefore continuous like the vertex layout's
+    trilerp, at brick gather cost; the custom VJP carries the extra
+    d(weights)/dx term.
     """
 
     n_levels: int = 16
@@ -380,6 +466,7 @@ class BrickHashEncoding(nn.Module):
     base_res: int = 16
     max_res: int = 2048
     n_lattices: int = 1
+    blend: str = "mean"  # 'mean' | 'smooth'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -397,5 +484,7 @@ class BrickHashEncoding(nn.Module):
 
         orig_shape = x.shape[:-1]
         x2 = x.reshape(-1, 3).astype(jnp.float32)
-        out = _brick_lookup(table, x2, (res, tb, F, self.n_lattices))
+        out = _brick_lookup(
+            table, x2, (res, tb, F, self.n_lattices, self.blend == "smooth")
+        )
         return out.reshape(*orig_shape, L * F).astype(self.dtype)

@@ -41,6 +41,7 @@ class NGPField(nn.Module):
     # decorrelate collisions and halve the jumps at 2 gathers/pt/level.
     hash_layout: str = "vertex"
     n_lattices: int = 1
+    brick_blend: str = "mean"  # brick only: 'smooth' = face-bump cross-fade
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -48,6 +49,7 @@ class NGPField(nn.Module):
         if self.hash_layout == "brick":
             enc_cls = BrickHashEncoding
             kw["n_lattices"] = self.n_lattices
+            kw["blend"] = self.brick_blend
         else:
             enc_cls = HashEncoding
         self.encoding = enc_cls(

@@ -62,6 +62,7 @@ class HashNerfNetwork(BaseNetwork):
     huber_delta: float = 0.1
     hash_layout: str = "vertex"  # 'vertex' (tcnn-exact) | 'brick' (TPU-fast)
     n_lattices: int = 1  # brick only: 2 = staggered dual lattice
+    brick_blend: str = "mean"  # brick only: 'smooth' = C0 face-bump cross-fade
     dtype: Any = jnp.bfloat16
 
     # Trainer aux-state protocol
@@ -78,6 +79,7 @@ class HashNerfNetwork(BaseNetwork):
             geo_feat_dim=self.geo_feat_dim,
             hash_layout=self.hash_layout,
             n_lattices=self.n_lattices,
+            brick_blend=self.brick_blend,
             dtype=self.dtype,
         )
 

@@ -15,11 +15,15 @@ Mosaic must serialize consecutive RMW row slices because dynamic row
 indices may alias (unrolling was measured and does not help;
 tools/exp_hashgather4.py).
 
-Constraints: ``num_rows * row_width * 4`` bytes must fit in VMEM
-alongside one value tile (~4 MB for the NGP brick table [65536, 16]).
-On non-TPU backends (CPU tests, virtual-device meshes) the op falls
-back to XLA's scatter-add, which is also what keeps the op GSPMD-
-partitionable in multi-chip dry runs.
+Constraints: the accumulator block is physically lane-padded to 128
+lanes in VMEM, so it occupies ``num_rows * max(row_width, 128) * 4``
+bytes (32 MB for the NGP vertex packing [65536, 16], not 4) — the
+kernel requests a raised per-kernel scoped-VMEM limit to cover it and
+falls back to XLA's scatter-add when even that cannot fit (past
+~180k rows at width<=128 on v5e's 128 MB VMEM). On non-TPU backends
+(CPU tests, virtual-device meshes) the op likewise falls back to XLA's
+scatter-add, which is also what keeps the op GSPMD-partitionable in
+multi-chip dry runs.
 """
 
 from __future__ import annotations
@@ -34,6 +38,18 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 _TILE = 1024  # indices per grid step (SMEM block: 4 KB of int32)
+
+# Per-kernel scoped-VMEM ceiling we are willing to request. v5e/v5p
+# have 128 MB of VMEM; leaving ~1/4 headroom for Mosaic scratch and the
+# double-buffered value tiles keeps compilation robust.
+_VMEM_CAP_BYTES = 96 * 1024 * 1024
+
+
+def _vmem_bytes(num_rows: int, w: int, itemsize: int) -> int:
+    """Scoped-VMEM footprint: lane-padded accumulator + double-buffered
+    value tiles (idx tiles live in SMEM)."""
+    lanes = max(((w + 127) // 128) * 128, 128)
+    return (num_rows + 2 * _TILE) * lanes * itemsize
 
 
 def _kernel(idx_ref, vals_ref, acc_ref):
@@ -77,6 +93,15 @@ def _pallas_scatter_add_rows(
             pl.BlockSpec((_TILE, w), lambda g: (g, 0), memory_space=vmem),
         ]
         out_specs = pl.BlockSpec((num_rows, w), lambda g: (0, 0), memory_space=vmem)
+        need = _vmem_bytes(num_rows, w, vals.dtype.itemsize)
+        # allow_input_fusion lets XLA fuse the value-row producer (e.g.
+        # the vertex layout's lane-packing one-hot select) directly into
+        # the kernel's operand tiles instead of materializing an [N, W]
+        # lane-padded temp in HBM (8x expansion at W=16).
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(need + 8 * 1024 * 1024, _VMEM_CAP_BYTES),
+            allow_input_fusion=[False, True],
+        )
     else:
         in_specs = [
             pl.BlockSpec((_TILE,), lambda g: (g,)),
@@ -95,7 +120,11 @@ def _pallas_scatter_add_rows(
 
 
 def _scatter_local(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int) -> jnp.ndarray:
-    if jax.default_backend() == "tpu":
+    if (
+        jax.default_backend() == "tpu"
+        and _vmem_bytes(num_rows, vals.shape[-1], vals.dtype.itemsize)
+        <= _VMEM_CAP_BYTES
+    ):
         return _pallas_scatter_add_rows(idx, vals, num_rows)
     # mode='drop' discards rows flagged -1 (skip_zero_rows) instead of
     # wrapping negative indices
