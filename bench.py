@@ -8,6 +8,8 @@ rows the reference's benchmark table implies (SURVEY §6 / BASELINE.md):
   ngp_vertex_rays_s    Instant-NGP train step, tcnn-exact vertex layout
   ngp_brick_rays_s     Instant-NGP train step, TPU-fast brick layout
   kilonerf_frame_ms    800x800 KiloNeRF inference frame (ref: 365-394 ms)
+  kilonerf_sphere_frame_ms  same frame with the distance-field
+                       sphere-trace march (~6x fewer grid lookups)
   mipnerf_rays_s       Mip-NeRF train step (2 levels x 128 samples)
   lego_ttp25_s         seconds of post-compile training to reach train
                        PSNR 25 overfitting the real reference lego
@@ -154,7 +156,8 @@ def bench_mipnerf():
     return _train_throughput(net, batches, steps, calls=3)
 
 
-def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16):
+def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
+                         march="dense"):
     import jax
     import jax.numpy as jnp
 
@@ -163,6 +166,7 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16):
     net = KiloNerfNetwork(
         resolution=(res, res, res), hidden=32, n_hidden_layers=2,
         n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
+        march=march,
     )
     rng = np.random.RandomState(0)
     d = rng.randn(chunk, 3).astype(np.float32)
@@ -324,6 +328,11 @@ def main():
     guarded("ngp_brick_rays_s", lambda: bench_ngp("brick"), "rays/s")
     guarded(
         "kilonerf_frame_ms", bench_kilonerf_frame, "ms",
+        vs=lambda v: KILONERF_REF_MS / v,
+    )
+    guarded(
+        "kilonerf_sphere_frame_ms",
+        lambda: bench_kilonerf_frame(march="sphere"), "ms",
         vs=lambda v: KILONERF_REF_MS / v,
     )
     guarded("mipnerf_rays_s", bench_mipnerf, "rays/s")

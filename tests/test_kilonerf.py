@@ -222,3 +222,43 @@ def test_kilonerf_network_render_and_reg():
     )
     np.testing.assert_allclose(np.asarray(out2["rgb"]), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out2["acc"]), 0.0, atol=1e-6)
+
+
+def test_sphere_march_matches_dense_march_with_sufficient_budget():
+    """kilonerf_sphere_march walks the same z-lattice as kilonerf_march
+    and must keep the IDENTICAL first-K live set when its step budget
+    covers the ray (docs/benchmark.md: the ~6x cheaper ESS for TPU)."""
+    import numpy as np
+
+    from xrnerf_tpu.models.networks.kilonerf import (
+        kilonerf_march,
+        kilonerf_sphere_march,
+    )
+
+    rng = np.random.RandomState(0)
+    N, S, K, G = 64, 96, 16, 16
+    d = rng.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ro = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 0.1)
+    rd = jnp.asarray(d)
+    near = jnp.full((N, 1), 0.5, jnp.float32)
+    far = jnp.full((N, 1), 2.5, jnp.float32)
+    occ = jnp.asarray(rng.rand(G, G, G) < 0.1)
+    dmin = jnp.asarray([-1.0, -1.0, -1.0])
+    dmax = jnp.asarray([1.0, 1.0, 1.0])
+
+    zk_d, m_d, dt_d = kilonerf_march(ro, rd, near, far, occ, dmin, dmax, S, K)
+    zk_s, m_s, dt_s = kilonerf_sphere_march(
+        ro, rd, near, far, occ, dmin, dmax, S, K, n_steps=S
+    )
+    np.testing.assert_array_equal(np.asarray(m_d), np.asarray(m_s))
+    np.testing.assert_allclose(
+        np.asarray(zk_d), np.asarray(zk_s), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(dt_d), np.asarray(dt_s))
+    # and the distance transform is conservative: d>0 => cell unoccupied
+    from xrnerf_tpu.models.networks.kilonerf import distance_transform_linf
+
+    dist = distance_transform_linf(occ)
+    assert not bool(jnp.any((dist > 0) & occ))
+    assert bool(jnp.all(dist[occ] == 0))

@@ -76,6 +76,109 @@ def kilonerf_march(
     return z_keep, mask, dt
 
 
+def distance_transform_linf(occ: jnp.ndarray, max_d: int = 15) -> jnp.ndarray:
+    """L-inf (chessboard) distance-in-cells to the nearest occupied cell.
+
+    0 on occupied cells; capped at ``max_d``. Built by ``max_d``
+    iterations of a separable 3-wide min-erosion — a pure dense jnp
+    computation, cheap enough to recompute from the bool grid inside a
+    jitted render (XLA CSEs it across the chunk's uses).
+    """
+    import jax.lax as lax
+
+    init = np.int32(max_d)  # concrete: reduce_window requires a literal
+    d = jnp.where(occ, jnp.int32(0), jnp.int32(max_d))
+
+    def erode(_, d):
+        m = d
+        for ax in range(3):
+            window = [1, 1, 1]
+            window[ax] = 3
+            m = lax.reduce_window(
+                m, init, lax.min, tuple(window), (1, 1, 1), "SAME"
+            )
+        return jnp.minimum(d, m + 1)
+
+    return lax.fori_loop(0, max_d, erode, d)
+
+
+def kilonerf_sphere_march(
+    rays_o: jnp.ndarray,  # [N, 3]
+    rays_d: jnp.ndarray,  # [N, 3]
+    near: jnp.ndarray,  # [N, 1]
+    far: jnp.ndarray,  # [N, 1]
+    occ: jnp.ndarray,  # [ox, oy, oz] bool
+    domain_min: jnp.ndarray,
+    domain_max: jnp.ndarray,
+    n_candidates: int,
+    n_keep: int,
+    n_steps: int = 96,
+):
+    """Sphere-trace ESS march: ~``n_steps`` grid lookups per ray instead
+    of ``n_candidates``.
+
+    The dense march above tests every point of the uniform z-lattice
+    against the occupancy grid — 25M lookups per 65k-ray chunk at
+    ~70 ns/row is the measured bottleneck of KiloNeRF inference on TPU
+    (docs/benchmark.md round-3 caveat). This variant walks the SAME
+    z-lattice but jumps through empty space using an L-inf distance
+    transform of the grid: from a cell at distance d cells, the nearest
+    occupied point is at least (d-1)*min_cell_edge away, so the march
+    advances that far (floored to whole lattice steps, always >= 1).
+    Positions stay exactly on the lattice (integer step carry), so when
+    the step budget suffices the kept samples are IDENTICAL to the
+    dense march's first-``n_keep`` live set. Returns the same
+    (z_keep [N,K], mask [N,K], dt [N,1]) contract.
+    """
+    n = rays_o.shape[0]
+    S = n_candidates
+    dt = (far - near) / max(S - 1, 1)  # [N, 1]
+    dt1 = jnp.maximum(dt[:, 0], 1e-9)
+    ores = jnp.asarray(occ.shape)
+    extent = domain_max - domain_min
+    min_edge = jnp.min(extent / ores.astype(rays_o.dtype))
+    dist = distance_transform_linf(occ)  # [ox,oy,oz] int32
+    flat_dist = dist.reshape(-1)
+
+    # start at the ray/domain entry (slab test), snapped up to the lattice
+    safe_d = jnp.where(jnp.abs(rays_d) > 1e-9, rays_d, 1e-9)
+    t0 = (domain_min - rays_o) / safe_d
+    t1 = (domain_max - rays_o) / safe_d
+    t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [N]
+    k_start = jnp.clip(
+        jnp.ceil((t_enter - near[:, 0]) / dt1 - 1e-4).astype(jnp.int32), 0, S
+    )
+
+    def step(k, _):
+        t = near[:, 0] + k.astype(rays_o.dtype) * dt1  # [N]
+        p = rays_o + rays_d * t[:, None]
+        rel = (p - domain_min) / extent
+        inb = jnp.all((rel >= 0) & (rel < 1), axis=-1) & (k < S)
+        cell = jnp.clip(jnp.floor(rel * ores).astype(jnp.int32), 0, ores - 1)
+        cidx = (
+            cell[..., 0] * (ores[1] * ores[2])
+            + cell[..., 1] * ores[2]
+            + cell[..., 2]
+        )
+        d = flat_dist[cidx]  # [N] int32; 0 = occupied
+        live = inb & (d == 0)
+        skip = jnp.floor(
+            jnp.maximum(d - 1, 0).astype(rays_o.dtype) * min_edge / dt1
+        ).astype(jnp.int32)
+        k_next = k + jnp.maximum(1, jnp.where(inb, skip, 1))
+        return k_next, (t, live)
+
+    ks, (zs, lives) = jax.lax.scan(step, k_start, None, length=n_steps)
+    z = jnp.moveaxis(zs, 0, 1)  # [N, n_steps]
+    live = jnp.moveaxis(lives, 0, 1)
+    sort_key = jnp.where(live, z, jnp.inf)
+    order = jnp.argsort(sort_key, axis=-1)[:, :n_keep]
+    z_keep = jnp.take_along_axis(z, order, axis=-1)
+    mask = jnp.take_along_axis(live, order, axis=-1)
+    z_keep = jnp.where(mask, z_keep, far)
+    return z_keep, mask, dt
+
+
 @NETWORKS.register
 class KiloNerfNetwork(BaseNetwork):
     """Finetune/inference network over a fixed grid of tiny MLPs."""
@@ -89,6 +192,8 @@ class KiloNerfNetwork(BaseNetwork):
     multires_dirs: int = 4
     n_samples: int = 384
     n_keep: int = 32  # inference ESS budget; 0 = evaluate all n_samples
+    march: str = "dense"  # 'dense' | 'sphere' (distance-field ESS, ~6x fewer lookups)
+    n_march_steps: int = 96  # sphere march step budget
     capacity_factor: float = 2.0
     white_bkgd: bool = True
     view_dep_reg: float = 1e-6
@@ -161,10 +266,16 @@ class KiloNerfNetwork(BaseNetwork):
         through the gather-only MoE dispatch, composites with the fixed
         candidate step as dt."""
         rays_o, rays_d = batch["rays_o"], batch["rays_d"]
-        z_keep, mask, dt = kilonerf_march(
-            rays_o, rays_d, batch["near"], batch["far"], occ,
-            dmin, dmax, self.n_samples, self.n_keep,
-        )
+        if self.march == "sphere":
+            z_keep, mask, dt = kilonerf_sphere_march(
+                rays_o, rays_d, batch["near"], batch["far"], occ,
+                dmin, dmax, self.n_samples, self.n_keep, self.n_march_steps,
+            )
+        else:
+            z_keep, mask, dt = kilonerf_march(
+                rays_o, rays_d, batch["near"], batch["far"], occ,
+                dmin, dmax, self.n_samples, self.n_keep,
+            )
         n, k = z_keep.shape
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_keep[..., None]
         flat = pts.reshape(n * k, 3)
