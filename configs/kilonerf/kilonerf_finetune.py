@@ -20,6 +20,12 @@ model = dict(
     multires=10,
     multires_dirs=4,
     n_samples=384,
+    # inference ESS: distance-field sphere-trace march (2x faster than
+    # the dense candidate march on v5e, bit-identical kept samples —
+    # docs/benchmark.md KiloNeRF section)
+    march="sphere",
+    n_march_steps=96,
+    n_keep=32,
     capacity_factor=2.0,
     white_bkgd=True,
     view_dep_reg=1e-6,
