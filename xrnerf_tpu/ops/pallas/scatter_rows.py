@@ -94,13 +94,14 @@ def _pallas_scatter_add_rows(
         ]
         out_specs = pl.BlockSpec((num_rows, w), lambda g: (0, 0), memory_space=vmem)
         need = _vmem_bytes(num_rows, w, vals.dtype.itemsize)
-        # allow_input_fusion lets XLA fuse the value-row producer (e.g.
-        # the vertex layout's lane-packing one-hot select) directly into
-        # the kernel's operand tiles instead of materializing an [N, W]
-        # lane-padded temp in HBM (8x expansion at W=16).
+        # NOTE: allow_input_fusion=[False, True] (fusing the value-row
+        # producer into the kernel operand) compiles standalone but hits
+        # a Mosaic RET_CHECK ("marked for dematerialization has
+        # complicated access") when the pallas_call sits inside a
+        # lax.scan body — so value rows are materialized. The callers
+        # keep peak HBM bounded by packing strictly per level.
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=min(need + 8 * 1024 * 1024, _VMEM_CAP_BYTES),
-            allow_input_fusion=[False, True],
         )
     else:
         in_specs = [
