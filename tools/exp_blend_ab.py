@@ -95,7 +95,9 @@ def run(scene_dir, cfg_key, iters, batch):
     def render_chunk(p, b):
         return net.apply({"params": p}, b, rng=None, train=False, aux=aux)["rgb"]
 
-    chunk = 16384
+    # vertex: 8 corner-gathers/pt produce [N*8, F] temps whose 2-wide
+    # minor dim lane-pads 64x in HBM — keep eval peaks ~1 GB
+    chunk = 4096 if CONFIGS[cfg_key]["hash_layout"] == "vertex" else 16384
     vp, vs = [], []
     for vi in ds.i_val:
         rays = ds.image_rays(vi)
