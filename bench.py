@@ -36,15 +36,35 @@ Measurement notes:
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
+from xrnerf_tpu.utils.compile_cache import enable_persistent_cache
+
+# Persistent XLA compile cache: the NGP train step costs ~15 min to
+# compile cold on a relay-attached chip; cached it reloads in seconds,
+# which is what lets the full suite fit the driver budget (round-3
+# BENCH rc=124 lesson).
+enable_persistent_cache()
+
 REF_RAYS_S = 20_000.0
 KILONERF_REF_MS = 393.61  # docs/en/benchmark.md:133-136, NSVF synthetic avg
 BATCH = 4096
 LEGO = "/root/reference/test/datasets/data/nerf_synthetic/lego"
+
+# Wall-clock the suite must finish inside (the driver runs bench.py
+# under an external timeout; round 3 lost ALL output to it). Extras are
+# skipped once their estimated cost no longer fits.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1050))
+_T_START = time.perf_counter()
+
+
+def remaining_s() -> float:
+    return BUDGET_S - (time.perf_counter() - _T_START)
 
 
 def log(msg):
@@ -125,20 +145,88 @@ def bench_nerf():
     return _train_throughput(net, batches, steps, calls=5)
 
 
+_GRID_CACHE = ".bench_lego_grid.npz"
+
+
+def _warmed_lego_state(warm_iters=192, batch=BATCH):
+    """(dataset, aux): real lego fixture + a trained-ish occupancy grid.
+
+    Fixes round-3 weak point 8: the benchmarked NGP step previously saw a
+    fresh all-live grid (aux=init_aux(None)), overstating march cost and
+    skipping mark-untrained. Here the aux starts from
+    ``init_aux(params, ds)`` (mark-untrained from the real poses) and is
+    advanced ``warm_iters`` training iters with the 16-iter grid-update
+    cadence — using the fast brick layout; the grid state is
+    layout-independent, so both layouts' benches share it (disk-cached).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from xrnerf_tpu.datasets.hashnerf import HashNerfDataset
+    from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
+    from xrnerf_tpu.models.samplers.occupancy import OccupancyGrid
+
+    ds = HashNerfDataset(LEGO, half_res=True, testskip=1, N_rand=batch)
+    if os.path.exists(_GRID_CACHE):
+        z = np.load(_GRID_CACHE)
+        return ds, OccupancyGrid(
+            density=jnp.asarray(z["density"]), bitfield=jnp.asarray(z["bitfield"])
+        )
+    net = HashNerfNetwork(hash_layout="brick", n_lattices=2)
+    b0 = {k: jnp.asarray(v) for k, v in ds.train_batch(0).items()}
+    params = net.init(jax.random.PRNGKey(0), b0, rng=None, train=False)["params"]
+    aux = net.init_aux(params, ds)
+    tx = optax.adam(1e-2, b2=0.99, eps=1e-15)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, aux, b, k):
+        def lf(p):
+            out = net.apply({"params": p}, b, rng=k, train=True, aux=aux)
+            return net.loss(out, b)[0]
+
+        loss, g = jax.value_and_grad(lf)(params)
+        upd, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt2, loss
+
+    upd_aux = jax.jit(net.update_aux)
+    key = jax.random.PRNGKey(0)
+    for i in range(warm_iters):
+        b = {k: jnp.asarray(v) for k, v in ds.train_batch(i).items()}
+        params, opt, loss = step(params, opt, aux, b, jax.random.fold_in(key, i))
+        if i % 16 == 0:
+            aux = upd_aux(params, aux, jnp.asarray(i), jax.random.fold_in(key, -1 - i))
+    float(loss)
+    np.savez(
+        _GRID_CACHE,
+        density=np.asarray(aux.density),
+        bitfield=np.asarray(aux.bitfield),
+    )
+    return ds, aux
+
+
 def bench_ngp(layout):
     import jax.numpy as jnp
 
     from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
 
     steps = 5
-    raw = _ray_batches(steps, BATCH, near=0.1, far=1.5, o_scale=0.2)
-    raw["rays_o"] = np.abs(raw["rays_o"]) % 1.0
-    del raw["near"], raw["far"]
-    batches = {k: jnp.asarray(v) for k, v in raw.items()}
     net = HashNerfNetwork(
         hash_layout=layout, n_lattices=2 if layout == "brick" else 1
     )
-    aux = net.init_aux(None)
+    if os.path.isdir(LEGO):
+        ds, aux = _warmed_lego_state()
+        per = [ds.train_batch(1000 + i) for i in range(steps)]
+        batches = {
+            k: jnp.asarray(np.stack([b[k] for b in per])) for k in per[0]
+        }
+    else:  # synthetic fallback (fixture not mounted)
+        raw = _ray_batches(steps, BATCH, near=0.1, far=1.5, o_scale=0.2)
+        raw["rays_o"] = np.abs(raw["rays_o"]) % 1.0
+        del raw["near"], raw["far"]
+        batches = {k: jnp.asarray(v) for k, v in raw.items()}
+        aux = net.init_aux(None)
     return _train_throughput(net, batches, steps, calls=3, aux=aux)
 
 
@@ -304,10 +392,43 @@ def bench_lego_time_to_psnr(target_psnr=25.0, max_steps=3000, batch=8192):
     return dt
 
 
-def main():
-    extras = {}
+_STATE = {"primary": None, "extras": {}, "emitted": False}
 
-    def guarded(name, fn, unit, vs=None):
+
+def emit_json():
+    """Print THE one JSON line (idempotent; also the SIGTERM backstop)."""
+    if _STATE["emitted"]:
+        return
+    _STATE["emitted"] = True
+    rays_s = _STATE["primary"]
+    out = {
+        "metric": "nerf_train_rays_per_sec",
+        "value": round(rays_s, 1) if rays_s else None,
+        "unit": "rays/s",
+        "vs_baseline": round(rays_s / REF_RAYS_S, 3) if rays_s else None,
+        "extras": _STATE["extras"],
+    }
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):  # pragma: no cover - driver timeout path
+    log(f"[bench] signal {signum}: emitting partial results")
+    emit_json()
+    sys.exit(0)
+
+
+def main():
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    extras = _STATE["extras"]
+
+    def guarded(name, fn, unit, vs=None, est_s=120.0):
+        """Run one extra; skip if it no longer fits the wall budget."""
+        if remaining_s() < est_s:
+            log(f"[bench] {name} SKIPPED (deadline: {remaining_s():.0f}s "
+                f"left < est {est_s:.0f}s)")
+            extras[name] = {"skipped": f"deadline ({remaining_s():.0f}s left)"}
+            return
         try:
             t0 = time.perf_counter()
             v = fn()
@@ -320,36 +441,29 @@ def main():
             log(f"[bench] {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
             extras[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
-    log("[bench] vanilla NeRF train throughput (primary)...")
+    log(f"[bench] budget {BUDGET_S:.0f}s; vanilla NeRF primary first...")
     rays_s = bench_nerf()
-    log(f"[bench] nerf: {rays_s:,.0f} rays/s")
+    _STATE["primary"] = rays_s
+    log(f"[bench] nerf: {rays_s:,.0f} rays/s ({time.perf_counter()-_T_START:.0f}s)")
 
-    guarded("ngp_vertex_rays_s", lambda: bench_ngp("vertex"), "rays/s")
-    guarded("ngp_brick_rays_s", lambda: bench_ngp("brick"), "rays/s")
+    # north-star first (BASELINE.md primary metric), then the rest in
+    # ascending risk; every estimate assumes a warm compile cache.
+    guarded("lego_ttp25_s", bench_lego_time_to_psnr, "s", est_s=420.0)
+    guarded("ngp_brick_rays_s", lambda: bench_ngp("brick"), "rays/s", est_s=150.0)
+    guarded("ngp_vertex_rays_s", lambda: bench_ngp("vertex"), "rays/s", est_s=150.0)
     guarded(
         "kilonerf_frame_ms", bench_kilonerf_frame, "ms",
-        vs=lambda v: KILONERF_REF_MS / v,
+        vs=lambda v: KILONERF_REF_MS / v, est_s=150.0,
     )
     guarded(
         "kilonerf_sphere_frame_ms",
         lambda: bench_kilonerf_frame(march="sphere"), "ms",
-        vs=lambda v: KILONERF_REF_MS / v,
+        vs=lambda v: KILONERF_REF_MS / v, est_s=100.0,
     )
-    guarded("mipnerf_rays_s", bench_mipnerf, "rays/s")
-    guarded("gnr_rays_s", bench_gnr, "rays/s")
-    guarded("lego_ttp25_s", bench_lego_time_to_psnr, "s")
+    guarded("mipnerf_rays_s", bench_mipnerf, "rays/s", est_s=100.0)
+    guarded("gnr_rays_s", bench_gnr, "rays/s", est_s=150.0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "nerf_train_rays_per_sec",
-                "value": round(rays_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_s / REF_RAYS_S, 3),
-                "extras": extras,
-            }
-        )
-    )
+    emit_json()
 
 
 if __name__ == "__main__":

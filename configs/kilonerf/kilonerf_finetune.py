@@ -21,8 +21,10 @@ model = dict(
     multires_dirs=4,
     n_samples=384,
     # inference ESS: distance-field sphere-trace march (2x faster than
-    # the dense candidate march on v5e, bit-identical kept samples —
-    # docs/benchmark.md KiloNeRF section)
+    # the dense candidate march on v5e). Kept samples match the dense
+    # march's first-K live set whenever n_march_steps covers the ray's
+    # live span (positions stay on the same z lattice; the skip accounts
+    # for unnormalized ray dirs) — docs/benchmark.md KiloNeRF section.
     march="sphere",
     n_march_steps=96,
     n_keep=32,

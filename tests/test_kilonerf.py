@@ -262,3 +262,40 @@ def test_sphere_march_matches_dense_march_with_sufficient_budget():
     dist = distance_transform_linf(occ)
     assert not bool(jnp.any((dist > 0) & occ))
     assert bool(jnp.all(dist[occ] == 0))
+
+
+def test_sphere_march_matches_dense_march_with_unnormalized_dirs():
+    """get_rays-style pixel directions have norms up to ~1.12 at image
+    corners; the sphere march's free-space skip is a world-space bound,
+    so it must divide by the per-ray norm (round-4 fix) — otherwise
+    peripheral rays overshoot occupied cells and silently lose their
+    first live samples."""
+    import numpy as np
+
+    from xrnerf_tpu.models.networks.kilonerf import (
+        kilonerf_march,
+        kilonerf_sphere_march,
+    )
+
+    rng = np.random.RandomState(1)
+    N, S, K, G = 64, 96, 16, 16
+    d = rng.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # scale norms into [1.0, 1.4] like camera-corner ray bundles
+    d *= (1.0 + 0.4 * rng.rand(N, 1)).astype(np.float32)
+    ro = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 0.1)
+    rd = jnp.asarray(d)
+    near = jnp.full((N, 1), 0.5, jnp.float32)
+    far = jnp.full((N, 1), 2.0, jnp.float32)
+    occ = jnp.asarray(rng.rand(G, G, G) < 0.1)
+    dmin = jnp.asarray([-1.0, -1.0, -1.0])
+    dmax = jnp.asarray([1.0, 1.0, 1.0])
+
+    zk_d, m_d, _ = kilonerf_march(ro, rd, near, far, occ, dmin, dmax, S, K)
+    zk_s, m_s, _ = kilonerf_sphere_march(
+        ro, rd, near, far, occ, dmin, dmax, S, K, n_steps=S
+    )
+    np.testing.assert_array_equal(np.asarray(m_d), np.asarray(m_s))
+    np.testing.assert_allclose(
+        np.asarray(zk_d), np.asarray(zk_s), rtol=0, atol=1e-5
+    )

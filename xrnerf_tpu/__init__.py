@@ -8,6 +8,10 @@ hot ops, GSPMD sharding for scale-out.
 
 __version__ = "0.1.0"
 
+from .utils.compile_cache import enable_persistent_cache  # noqa: F401
+
+enable_persistent_cache()
+
 from . import registry  # noqa: F401
 from .config import Config, load_config  # noqa: F401
 from .registry import (  # noqa: F401

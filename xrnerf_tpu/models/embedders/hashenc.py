@@ -110,16 +110,16 @@ def _vertex_fwd(table, x, cfg):
 
 
 def _vertex_bwd(cfg, residuals, g):
-    """Table gradient through the Pallas VMEM row scatter.
+    """Table gradient: packed-row scatter-add per level.
 
     The transpose of the 8-corner gather is a scatter-add of 33.5M
-    width-F rows per Instant-NGP step — XLA serializes it at ~82 ns/row
-    on v5e (tools/exp_round3_vertex2.py), the single dominant cost of
-    tcnn-exact NGP training on TPU. Packing 8 consecutive table rows
-    into one [8F]-lane row (row = idx>>3, lanes (idx&7)*F..) turns it
-    into exactly the row shape the brick layout's VMEM kernel handles at
-    ~12 ns/row (ops/pallas/scatter_rows.py), with bit-identical +=
-    semantics (only f32 summation order changes).
+    width-F rows per Instant-NGP step — the dominant cost of tcnn-exact
+    NGP training on TPU (scatter is row-count bound at ~80 ns/row,
+    docs/benchmark.md round-3 measurement). Packing 8 consecutive table
+    rows into one [8F]-lane row (row = idx>>3, lanes (idx&7)*F..)
+    divides the row count by 8 with bit-identical += semantics (only
+    f32 summation order changes); scatter_add_rows routes it to the
+    measured-fastest backend (XLA scatter by default).
     """
     from ...ops.pallas.scatter_rows import scatter_add_rows
 
@@ -297,10 +297,12 @@ def _face_bump(t: jnp.ndarray) -> jnp.ndarray:
     """beta(t) = prod_d t_d(1-t_d): vanishes on the lattice's cell faces.
 
     Used by the smooth blend: weighting lattice k's trilerp by its own
-    face bump (normalized across lattices) makes the blended field
-    continuous — each lattice is muted exactly where its per-cell
-    interpolation jumps, and the staggered lattices' faces never
-    coincide, so somewhere a positive weight always remains.
+    face bump (normalized across lattices) mutes each lattice exactly
+    where its per-cell interpolation jumps. The staggered lattices'
+    face planes are parallel-distinct per axis but still intersect on
+    codim-2 curves (e.g. an x-face of lattice 0 with a y-face of
+    lattice 1); on those measure-zero curves both bumps vanish and the
+    blend retains a bounded jump — see BrickHashEncoding's docstring.
     """
     b = t * (1.0 - t)
     return b[..., 0] * b[..., 1] * b[..., 2]  # [L,N]
@@ -455,9 +457,15 @@ class BrickHashEncoding(nn.Module):
     ``prod_d t_d(1-t_d)`` (normalized across lattices), which vanishes
     exactly on lattice k's cell faces — where its per-cell interpolation
     jumps — while the staggered lattice still carries weight there. The
-    blended field is therefore continuous like the vertex layout's
-    trilerp, at brick gather cost; the custom VJP carries the extra
-    d(weights)/dx term.
+    blended field is continuous across every cell FACE (the measure-one
+    discontinuity set of the plain brick layout); a measure-zero
+    codim-2 exception remains on the curves where a face plane of one
+    lattice intersects a face plane of the other (both bumps vanish,
+    the normalized weights snap to 1/2 each while both trilerp values
+    jump — a bounded jump, halved vs. the raw layouts). This is weaker
+    than the vertex layout's true C0 trilerp but removes the dominant
+    (2D-measure) artifact at brick gather cost; the custom VJP carries
+    the extra d(weights)/dx term.
     """
 
     n_levels: int = 16

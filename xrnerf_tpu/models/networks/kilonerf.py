@@ -134,6 +134,11 @@ def kilonerf_sphere_march(
     S = n_candidates
     dt = (far - near) / max(S - 1, 1)  # [N, 1]
     dt1 = jnp.maximum(dt[:, 0], 1e-9)
+    # world-space distance advanced per lattice step: rays_d need NOT be
+    # unit-norm (get_rays-style pixel directions have |d| up to ~1.12 at
+    # image corners) — the free-space skip below is in world units, so
+    # convert with the per-ray norm or the march overshoots occupancy.
+    world_dt = dt1 * jnp.maximum(jnp.linalg.norm(rays_d, axis=-1), 1e-9)
     ores = jnp.asarray(occ.shape)
     extent = domain_max - domain_min
     min_edge = jnp.min(extent / ores.astype(rays_o.dtype))
@@ -163,7 +168,7 @@ def kilonerf_sphere_march(
         d = flat_dist[cidx]  # [N] int32; 0 = occupied
         live = inb & (d == 0)
         skip = jnp.floor(
-            jnp.maximum(d - 1, 0).astype(rays_o.dtype) * min_edge / dt1
+            jnp.maximum(d - 1, 0).astype(rays_o.dtype) * min_edge / world_dt
         ).astype(jnp.int32)
         k_next = k + jnp.maximum(1, jnp.where(inb, skip, 1))
         return k_next, (t, live)

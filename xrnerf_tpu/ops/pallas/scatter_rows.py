@@ -1,29 +1,30 @@
-"""Row scatter-add for hash-table gradients — Pallas TPU kernel.
+"""Row scatter-add for hash-table gradients.
 
 The transpose of a row gather is a scatter-add. XLA lowers
 ``zeros.at[idx].add(vals)`` to a serialized HBM scatter measured at
-~82 ns/row on v5e (tools/exp_hashgather3.py: 344 ms for a 4.2M-row
-Instant-NGP table-gradient step) — the single dominant cost of NGP
-training on TPU, standing in for the atomicAdd that tiny-cuda-nn's
-backward uses on GPU (reference call site:
+~80 ns/row on v5e with chained-scalar-forced timing
+(docs/benchmark.md "Measurement caveat (round 3)") — the row-count
+bound cost of NGP training on TPU, standing in for the atomicAdd that
+tiny-cuda-nn's backward uses on GPU (reference call site:
 ``/root/reference/xrnerf/models/mlps/hashnerf_mlp.py:36-45``).
 
-This kernel keeps the accumulator table resident in VMEM across the
-whole grid sweep and performs the read-modify-write rows on-chip:
-~37 ns/row measured (2.2x XLA), limited by the serial scalar loop —
-Mosaic must serialize consecutive RMW row slices because dynamic row
-indices may alias (unrolling was measured and does not help;
-tools/exp_hashgather4.py).
+DEFAULT PATH: XLA scatter-add. The VMEM-resident Pallas kernel in this
+module keeps the accumulator table on-chip and RMWs rows in a serial
+scalar loop; honest re-measurement (round 3, tools/exp_round3_vertex4.py
+methodology) puts it at ~95-130 ns/row at the NGP shapes — SLOWER than
+XLA's scatter, because the loop is scalar-issue-bound, not
+HBM-latency-bound (K-way accumulator unrolling does not help). Earlier
+"~37 ns/row" / "~12 ns/row" figures were relay-timing artifacts and are
+retracted. The kernel is kept behind ``XRNERF_PALLAS_SCATTER=1`` for
+future Mosaic improvements and for its tests; the real win on this op
+is algorithmic (row dedup before the scatter — see
+``dedup_segment_sum`` in hashenc's vertex backward), not kernel-level.
 
-Constraints: the accumulator block is physically lane-padded to 128
-lanes in VMEM, so it occupies ``num_rows * max(row_width, 128) * 4``
-bytes (32 MB for the NGP vertex packing [65536, 16], not 4) — the
-kernel requests a raised per-kernel scoped-VMEM limit to cover it and
-falls back to XLA's scatter-add when even that cannot fit (past
-~180k rows at width<=128 on v5e's 128 MB VMEM). On non-TPU backends
-(CPU tests, virtual-device meshes) the op likewise falls back to XLA's
-scatter-add, which is also what keeps the op GSPMD-partitionable in
-multi-chip dry runs.
+The Pallas path's VMEM constraint, when enabled: the accumulator block
+is lane-padded to 128 lanes, occupying ``num_rows*max(row_width,128)*4``
+bytes; shapes past the scoped-VMEM cap fall back to XLA. Non-TPU
+backends (CPU tests, virtual meshes) always use XLA's scatter-add,
+which also keeps the op GSPMD-partitionable in multi-chip dry runs.
 """
 
 from __future__ import annotations
@@ -38,6 +39,12 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 _TILE = 1024  # indices per grid step (SMEM block: 4 KB of int32)
+
+# Opt-in: route TPU scatters through the Pallas VMEM kernel instead of
+# XLA's scatter-add (measured slower at NGP shapes; module docstring).
+import os as _os
+
+_PALLAS_SCATTER = bool(_os.environ.get("XRNERF_PALLAS_SCATTER"))
 
 # Per-kernel scoped-VMEM ceiling we are willing to request. v5e/v5p
 # have 128 MB of VMEM; leaving ~1/4 headroom for Mosaic scratch and the
@@ -121,9 +128,15 @@ def _pallas_scatter_add_rows(
 
 
 def _scatter_local(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    # gate includes the 8 MB Mosaic-scratch headroom the kernel requests
+    # on top of its footprint, so the XLA fallback always triggers before
+    # the request would exceed the cap (a compile failure is not a
+    # fallback)
     if (
-        jax.default_backend() == "tpu"
+        _PALLAS_SCATTER
+        and jax.default_backend() == "tpu"
         and _vmem_bytes(num_rows, vals.shape[-1], vals.dtype.itemsize)
+        + 8 * 1024 * 1024
         <= _VMEM_CAP_BYTES
     ):
         return _pallas_scatter_add_rows(idx, vals, num_rows)
@@ -161,12 +174,13 @@ def scatter_add_rows(
 ) -> jnp.ndarray:
     """``out[idx[i], :] += vals[i, :]`` over a fresh [num_rows, W] zeros.
 
-    idx: [N] int32 row ids in [0, num_rows); vals: [N, W] float. Uses the
-    VMEM-resident Pallas kernel on TPU, XLA scatter-add elsewhere; with a
+    idx: [N] int32 row ids in [0, num_rows); vals: [N, W] float. Uses
+    XLA's scatter-add (the measured-fastest path; module docstring), or
+    the VMEM Pallas kernel when XRNERF_PALLAS_SCATTER=1; with a
     registered mesh (set_scatter_mesh) the rows are processed shard-local
-    with a single psum of partial tables. ``skip_zero_rows`` pre-flags
-    all-zero value rows (dead marched samples) so the serial kernel can
-    skip their read-modify-write.
+    with a single psum of partial tables. ``skip_zero_rows`` flags
+    all-zero value rows (dead marched samples) as -1 so they are dropped
+    (XLA mode='drop') or skipped (Pallas serial RMW).
     """
     if skip_zero_rows:
         nonzero = jnp.any(vals != 0.0, axis=-1)
