@@ -244,6 +244,38 @@ def bench_mipnerf():
     return _train_throughput(net, batches, steps, calls=3)
 
 
+def _lego_kilonerf_inputs(chunk=65536):
+    """Real-scene KiloNeRF frame inputs (round-3 weak point 5): the
+    occupancy grid is the warmed lego NGP grid's 128^3 bitfield (trained
+    on the real fixture — structured occupancy, not a random mask) and
+    the rays are the fixture camera's actual 800x800 get_rays bundle
+    (unnormalized pixel dirs), chunked. Domain = NGP coords [0,1]^3.
+
+    Returns (occ [128^3 bool], chunks list of ray dicts, n_rays)."""
+    import jax.numpy as jnp
+
+    from xrnerf_tpu.datasets.hashnerf import HashNerfDataset
+
+    _, aux = _warmed_lego_state()
+    occ = np.asarray(aux.bitfield[0]).reshape(128, 128, 128)
+    ds = HashNerfDataset(LEGO, half_res=False, testskip=1, N_rand=1024)
+    rays = ds.image_rays(ds.i_train[0])
+    n_rays = rays["rays_o"].shape[0]
+    pad = (-n_rays) % chunk
+    rays = {
+        k: np.concatenate([v, np.repeat(v[-1:], pad, 0)]) if pad else v
+        for k, v in rays.items()
+    }
+    chunks = []
+    for s in range(0, n_rays + pad, chunk):
+        c = {k: jnp.asarray(v[s : s + chunk]) for k, v in rays.items()}
+        # blender near/far 2/6 in nerf units x the 0.33 ngp scale
+        c["near"] = jnp.full((chunk, 1), 2.0 * 0.33, jnp.float32)
+        c["far"] = jnp.full((chunk, 1), 6.0 * 0.33, jnp.float32)
+        chunks.append(c)
+    return occ, chunks, n_rays
+
+
 def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
                          march="dense"):
     import jax
@@ -251,22 +283,33 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
 
     from xrnerf_tpu.models.networks.kilonerf import KiloNerfNetwork
 
+    real = os.path.isdir(LEGO)
+    if real:
+        occ_np, chunks, n_rays = _lego_kilonerf_inputs(chunk)
+        occ = jnp.asarray(occ_np)
+        dmin, dmax = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+        batch0 = chunks[0]
+    else:  # synthetic fallback
+        rng = np.random.RandomState(0)
+        d = rng.randn(chunk, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        batch0 = {
+            "rays_o": jnp.asarray(rng.randn(chunk, 3).astype(np.float32) * 0.1),
+            "rays_d": jnp.asarray(d),
+            "near": jnp.full((chunk, 1), 0.5, np.float32),
+            "far": jnp.full((chunk, 1), 2.5, np.float32),
+        }
+        occ = jnp.asarray(rng.rand(res * 4, res * 4, res * 4) < 0.15)
+        dmin, dmax = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+        chunks = [batch0] * ((hw * hw + chunk - 1) // chunk)
+
     net = KiloNerfNetwork(
-        resolution=(res, res, res), hidden=32, n_hidden_layers=2,
+        resolution=(res, res, res), domain_min=dmin, domain_max=dmax,
+        hidden=32, n_hidden_layers=2,
         n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
         march=march,
     )
-    rng = np.random.RandomState(0)
-    d = rng.randn(chunk, 3).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    batch = {
-        "rays_o": jnp.asarray(rng.randn(chunk, 3).astype(np.float32) * 0.1),
-        "rays_d": jnp.asarray(d),
-        "near": jnp.full((chunk, 1), 0.5, np.float32),
-        "far": jnp.full((chunk, 1), 2.5, np.float32),
-    }
-    occ = jnp.asarray(rng.rand(res * 4, res * 4, res * 4) < 0.15)
-    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False, aux=occ)[
+    params = net.init(jax.random.PRNGKey(0), batch0, rng=None, train=False, aux=occ)[
         "params"
     ]
 
@@ -274,13 +317,10 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
     def render_chunk(params, b):
         return net.apply({"params": params}, b, rng=None, train=False, aux=occ)["rgb"]
 
-    n_rays = hw * hw
-    n_chunks = (n_rays + chunk - 1) // chunk
-
     def frame():
         acc = None
-        for _ in range(n_chunks):
-            acc = render_chunk(params, batch)
+        for b in chunks:
+            acc = render_chunk(params, b)
         return float(acc[0, 0])  # forces completion
 
     frame()  # compile + warm

@@ -227,6 +227,7 @@ def main():
         return jnp.stack(out)
 
     rows = L * N8
+    ref = jax.block_until_ready(jax.jit(plain)(jnp.float32(0), idx2, vals))
     for name, fn in [
         ("packed (shipped)", packed),
         ("plain", plain),
@@ -235,17 +236,16 @@ def main():
         ("scatter_free", scatter_free),
     ]:
         try:
-            # correctness vs plain first (small check on one level)
-            ref = jax.jit(plain)(jnp.float32(0), idx2, vals)
             got = jax.jit(fn)(jnp.float32(0), idx2, vals)
             err = float(jnp.max(jnp.abs(ref - got)))
-            sec = timeit(fn, idx2, vals, iters=4)
+            sec = timeit(fn, idx2, vals, iters=3, warmup=1)
             print(
                 f"{name:22s} {sec*1e3:9.1f} ms/step "
-                f"{sec/rows*1e9:7.2f} ns/row  max_err={err:.2e}"
+                f"{sec/rows*1e9:7.2f} ns/row  max_err={err:.2e}",
+                flush=True,
             )
         except Exception as e:  # noqa: BLE001
-            print(f"{name:22s} FAILED: {type(e).__name__}: {str(e)[:150]}")
+            print(f"{name:22s} FAILED: {type(e).__name__}: {str(e)[:150]}", flush=True)
 
 
 if __name__ == "__main__":

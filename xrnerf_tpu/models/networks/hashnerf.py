@@ -84,18 +84,19 @@ class HashNerfNetwork(BaseNetwork):
         )
 
     def param_spec(self, path):
-        """Shard the hash table's bucket dim on the model axis: [L, T, F]
-        -> P(None, 'model'). Gradients are gather-transposed scatter-adds,
-        which GSPMD keeps shard-local on the bucket dim (SURVEY §2.6's
-        'model sharding of the hash table' gap in the reference).
-
-        Only the 'vertex' layout is sharded: the 'brick' layout's backward
-        is a Pallas kernel that GSPMD cannot partition — its table stays
-        replicated until a shard_map wrapper lands."""
-        if path[-1] == "table" and self.hash_layout == "vertex":
+        """Shard the hash table's bucket dim on the model axis (SURVEY
+        §2.6's 'model sharding of the hash table' gap in the reference):
+        vertex [L, T, F] -> P(None, 'model'); brick [L, n_lat, tb, 8F]
+        -> P(None, None, 'model', None). Gradients are gather-transposed
+        scatter-adds, which GSPMD partitions on the bucket dim (the
+        scatter routes through XLA by default — scatter_rows.py; the
+        opt-in Pallas kernel likewise falls back to XLA under GSPMD)."""
+        if path[-1] == "table":
             import jax as _jax
 
-            return _jax.sharding.PartitionSpec(None, "model")
+            if self.hash_layout == "vertex":
+                return _jax.sharding.PartitionSpec(None, "model")
+            return _jax.sharding.PartitionSpec(None, None, "model", None)
         return None
 
     def density(self, pts: jnp.ndarray) -> jnp.ndarray:
