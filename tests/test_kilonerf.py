@@ -299,3 +299,93 @@ def test_sphere_march_matches_dense_march_with_unnormalized_dirs():
     np.testing.assert_allclose(
         np.asarray(zk_d), np.asarray(zk_s), rtol=0, atol=1e-5
     )
+
+
+def test_keep_first_k_matches_sort_compaction():
+    import numpy as np
+
+    from xrnerf_tpu.ops.compaction import keep_first_k
+
+    rng = np.random.RandomState(0)
+    live = jnp.asarray(rng.rand(32, 48) < 0.3)
+    idx, mask = keep_first_k(live, 8)
+    idx, mask = np.asarray(idx), np.asarray(mask)
+    for n in range(32):
+        pos = np.nonzero(np.asarray(live)[n])[0]
+        k = min(len(pos), 8)
+        assert mask[n, :k].all() and not mask[n, k:].any()
+        np.testing.assert_array_equal(idx[n, :k], pos[:k])
+
+
+def test_pooled_march_matches_dense_march():
+    """Two-stage flat-gather ESS == dense march's first-K live set, with
+    ample group budget — including unnormalized camera-style dirs."""
+    import numpy as np
+
+    from xrnerf_tpu.models.networks.kilonerf import (
+        kilonerf_march,
+        kilonerf_pooled_march,
+    )
+
+    rng = np.random.RandomState(2)
+    N, S, K, G = 64, 96, 16, 16
+    for scale_norms in (False, True):
+        d = rng.randn(N, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        if scale_norms:
+            d *= (1.0 + 0.4 * rng.rand(N, 1)).astype(np.float32)
+        ro = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 0.1)
+        rd = jnp.asarray(d)
+        near = jnp.full((N, 1), 0.5, jnp.float32)
+        far = jnp.full((N, 1), 2.0, jnp.float32)
+        occ = jnp.asarray(rng.rand(G, G, G) < 0.1)
+        dmin = jnp.asarray([-1.0, -1.0, -1.0])
+        dmax = jnp.asarray([1.0, 1.0, 1.0])
+
+        zk_d, m_d, dt_d = kilonerf_march(ro, rd, near, far, occ, dmin, dmax, S, K)
+        # ample budget: every group kept (Kg = S/group)
+        zk_p, m_p, dt_p = kilonerf_pooled_march(
+            ro, rd, near, far, occ, dmin, dmax, S, K,
+            group=8, n_groups_keep=S // 8,
+        )
+        np.testing.assert_array_equal(np.asarray(m_d), np.asarray(m_p))
+        np.testing.assert_allclose(
+            np.asarray(zk_d), np.asarray(zk_p), rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(dt_d), np.asarray(dt_p))
+
+
+def test_eval_budget_compaction_matches_full_eval():
+    """eval_budget >= live count must reproduce the uncompacted fast
+    render exactly (compacted_coord target_batch_size semantics)."""
+    import numpy as np
+
+    from xrnerf_tpu.models.networks.kilonerf import KiloNerfNetwork
+
+    rng = np.random.RandomState(3)
+    N = 32
+    d = rng.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(rng.randn(N, 3).astype(np.float32) * 0.1),
+        "rays_d": jnp.asarray(d),
+        "near": jnp.full((N, 1), 0.5, jnp.float32),
+        "far": jnp.full((N, 1), 2.0, jnp.float32),
+    }
+    occ = jnp.asarray(rng.rand(8, 8, 8) < 0.2)
+    kw = dict(
+        resolution=(4, 4, 4), hidden=8, n_hidden_layers=1, multires=2,
+        multires_dirs=2, n_samples=64, n_keep=8, march="pooled",
+    )
+    full = KiloNerfNetwork(**kw, eval_budget=0)
+    params = full.init(jax.random.PRNGKey(0), batch, rng=None, train=False, aux=occ)[
+        "params"
+    ]
+    out_full = full.apply({"params": params}, batch, rng=None, train=False, aux=occ)
+    capped = KiloNerfNetwork(**kw, eval_budget=N * 8 - 1)
+    out_cap = capped.apply({"params": params}, batch, rng=None, train=False, aux=occ)
+    # budget N*8-1 engages the branch; at most one (dead, since dead
+    # sort last) slot dropped when any dead slot exists
+    np.testing.assert_allclose(
+        np.asarray(out_cap["rgb"]), np.asarray(out_full["rgb"]), atol=2e-5
+    )

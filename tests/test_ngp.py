@@ -628,3 +628,52 @@ def test_hashnerf_trainer_end_to_end(synthetic_scene, tmp_path):
     )
     assert tr2.start_step == 20
     tr2.run()
+
+
+def test_sample_budget_compaction_matches_full_eval():
+    """With a budget covering every live sample, batch-level compaction
+    (parity: compacted_coord's target_batch_size cap) must reproduce the
+    uncompacted render exactly; with a tiny budget it must still produce
+    finite output with overflow samples contributing ~zero density."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xrnerf_tpu.models.networks.hashnerf import HashNerfNetwork
+
+    rng = np.random.RandomState(0)
+    n = 64
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+        "rays_d": jnp.asarray(d),
+        "target": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+    }
+    kw = dict(
+        n_levels=4, log2_table_size=12, base_res=4, max_res=32,
+        hidden_dim=16, geo_feat_dim=7, n_candidates=32, n_keep=8,
+        grid_res=16, dtype=jnp.float32,
+    )
+    full = HashNerfNetwork(**kw, sample_budget=0)
+    params = full.init(jax.random.PRNGKey(0), batch, rng=None, train=False)["params"]
+    aux = full.init_aux(params)
+    # structured partial occupancy so live < n*k and the budget branch
+    # engages with full coverage
+    bf = np.asarray(aux.bitfield).reshape(1, 16, 16, 16).copy()
+    bf[:, 8:] = False
+    aux = aux._replace(bitfield=jnp.asarray(bf.reshape(1, -1)))
+    out_full = full.apply({"params": params}, batch, rng=None, train=False, aux=aux)
+    n_live = int(out_full["n_live_samples"])
+    assert 0 < n_live < n * 8
+
+    # budget >= live count: identical (every live sample evaluated)
+    capped = HashNerfNetwork(**kw, sample_budget=max(n_live, 1))
+    out_cap = capped.apply({"params": params}, batch, rng=None, train=False, aux=aux)
+    np.testing.assert_allclose(
+        np.asarray(out_cap["rgb"]), np.asarray(out_full["rgb"]), atol=2e-5
+    )
+
+    tiny = HashNerfNetwork(**kw, sample_budget=32)
+    out_tiny = tiny.apply({"params": params}, batch, rng=None, train=False, aux=aux)
+    assert np.all(np.isfinite(np.asarray(out_tiny["rgb"])))

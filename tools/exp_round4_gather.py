@@ -39,19 +39,20 @@ ITERS = 6
 
 
 def timeit(fn, *args, iters=ITERS, warmup=2):
-    jfn = jax.jit(
-        lambda x: jax.lax.scan(
-            lambda c, _: (jnp.sum(fn(c, *args)) * 0.0 + c + 1.0, None),
-            x,
-            None,
-            length=iters,
-        )[0]
-    )
+    # operands as explicit jit args: closed-over arrays embed as HLO
+    # constants and big ones trip the remote-compile HTTP body limit
+    @jax.jit
+    def jfn(x, *a):
+        def body(c, _):
+            return jnp.sum(fn(c, *a)) * 0.0 + c + 1.0, None
+
+        return jax.lax.scan(body, x, None, length=iters)[0]
+
     for _ in range(warmup):
-        out = jfn(jnp.float32(1.0))
+        out = jfn(jnp.float32(1.0), *args)
     float(out)
     t0 = time.perf_counter()
-    float(jfn(jnp.float32(1.0)))
+    float(jfn(jnp.float32(1.0), *args))
     return (time.perf_counter() - t0) / iters
 
 

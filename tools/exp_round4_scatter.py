@@ -54,20 +54,24 @@ ITERS = 8
 
 def timeit(fn, *args, iters=ITERS, warmup=2):
     """Chained-iteration timing: fn must accept (x, *args) where x is a
-    scalar perturbation, and return an array; iterations chain through it."""
-    jfn = jax.jit(
-        lambda x: jax.lax.scan(
-            lambda c, _: (jnp.sum(fn(c * 1e-30, *args)) * 0.0 + c, None),
-            x,
-            None,
-            length=iters,
-        )[0]
-    )
+    scalar perturbation, and return an array; iterations chain through it.
+
+    Operands are explicit jit args (NOT closures): closed-over arrays
+    embed as HLO constants, and a 400 MB constant blob trips the remote
+    compile relay's HTTP 413 body limit."""
+
+    @partial(jax.jit, static_argnums=())
+    def jfn(x, *a):
+        def body(c, _):
+            return jnp.sum(fn(c * 1e-30, *a)) * 0.0 + c, None
+
+        return jax.lax.scan(body, x, None, length=iters)[0]
+
     for _ in range(warmup):
-        out = jfn(jnp.float32(1.0))
+        out = jfn(jnp.float32(1.0), *args)
     float(out)
     t0 = time.perf_counter()
-    float(jfn(jnp.float32(1.0)))
+    float(jfn(jnp.float32(1.0), *args))
     return (time.perf_counter() - t0) / iters
 
 

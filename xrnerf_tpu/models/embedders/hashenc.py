@@ -8,10 +8,11 @@ Replaces tiny-cuda-nn's HashGrid encoding that the reference wraps
 Design: one stacked table param [L, T, F]; per level compute 8 corner
 hashes and gather-interpolate. The forward is a pure gather + trilerp
 (vectorized over all levels at once — a single [L*N*8] gather keeps the
-TPU busy instead of 16 tiny ones); the backward is XLA's gather
-transpose = scatter-add into the table, which is exactly tcnn's atomicAdd
-semantics. Coarse levels whose dense grid fits under T use injective
-(non-hashed) indexing, matching NGP's tied-grid behavior.
+TPU busy instead of 16 tiny ones); the backward realises tcnn's
+atomicAdd semantics as a scatter-free sorted segment reduction on TPU
+(ops/sorted_segment.py via scatter_add_rows; plain XLA scatter-add on
+CPU/small shapes). Coarse levels whose dense grid fits under T use
+injective (non-hashed) indexing, matching NGP's tied-grid behavior.
 """
 
 from __future__ import annotations
@@ -79,12 +80,18 @@ def _vertex_cells(x: jnp.ndarray, cfg) -> tuple:
 
 
 def _vertex_gather(table: jnp.ndarray, idx: jnp.ndarray, cfg) -> jnp.ndarray:
-    """table [L,T,F], idx [L,N,8] -> corner feats [L,N,8,F]."""
+    """table [L,T,F], idx [L,N,8] -> corner feats [L,N,8,F].
+
+    One flat row gather on a 2D [L*T, F] view: the level-batched
+    take_along_axis formulation costs ~10 ns/row on v5e where the flat
+    axis-0 take runs at ~2 ns/row (tools/exp_round4_vertex_profile.py
+    fwd 335 ms -> ~70 ms at the 33.5M-row step shape)."""
     _, T, F = cfg
     L, n, _ = idx.shape
-    return jnp.take_along_axis(
-        table[:, :, None, :], idx.reshape(L, n * 8)[:, :, None, None], axis=1
-    ).reshape(L, n, 8, F)
+    flat = table.reshape(L * T, F)
+    offs = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
+    fidx = (idx.reshape(L, n * 8) + offs).reshape(-1)
+    return jnp.take(flat, fidx, axis=0).reshape(L, n, 8, F)
 
 
 def _vertex_impl(table, x, cfg):
@@ -110,16 +117,18 @@ def _vertex_fwd(table, x, cfg):
 
 
 def _vertex_bwd(cfg, residuals, g):
-    """Table gradient: packed-row scatter-add per level.
+    """Table gradient: per-level scatter-FREE dense segment reduction.
 
-    The transpose of the 8-corner gather is a scatter-add of 33.5M
-    width-F rows per Instant-NGP step — the dominant cost of tcnn-exact
-    NGP training on TPU (scatter is row-count bound at ~80 ns/row,
-    docs/benchmark.md round-3 measurement). Packing 8 consecutive table
-    rows into one [8F]-lane row (row = idx>>3, lanes (idx&7)*F..)
-    divides the row count by 8 with bit-identical += semantics (only
-    f32 summation order changes); scatter_add_rows routes it to the
-    measured-fastest backend (XLA scatter by default).
+    The transpose of the 8-corner gather is 33.5M width-F update rows
+    per Instant-NGP step. TPU scatter-add is row-count bound at
+    ~42 ns/row while sorts/gathers/cumsums run at ~2-3 ns/row
+    (tools/exp_round4_scatter.py), so the rows are sorted by destination
+    and the dense [T, F] gradient is read off as boundary differences of
+    one prefix sum (ops/sorted_segment.py) — no scatter in the entire
+    backward. This replaces tcnn's atomicAdd semantics (only the f32
+    summation order differs; tcnn itself accumulates in fp16).
+    Routed through scatter_add_rows so the multichip path (shard_map
+    over the data axis + psum of partial tables) applies unchanged.
     """
     from ...ops.pallas.scatter_rows import scatter_add_rows
 
@@ -133,31 +142,17 @@ def _vertex_bwd(cfg, residuals, g):
     g3 = jnp.moveaxis(g.reshape(n, L, F).astype(jnp.float32), 0, 1)  # [L,N,F]
     grad_rows = w8[..., None] * g3[:, :, None, :]  # [L, N, 8, F]
 
-    # --- table gradient: per-level packed-row VMEM scatter ---
-    # Strictly per-level: building the packed [L, N*8, 8F] value rows in
-    # one shot materializes a 16 GB lane-padded HBM temp (minor dim 16
-    # pads 8x under T(8,128)); sliced per level, the one-hot packing is
-    # a pure elementwise producer that XLA fuses straight into the
-    # Pallas kernel's operand tiles (allow_input_fusion), so the rows
-    # never exist in HBM at all.
+    # per level (dense coarse levels only occupy res^3 < T rows: reduce
+    # over that prefix and zero-pad the rest)
     idx2 = idx.reshape(L, n * 8)
     gr = grad_rows.reshape(L, n * 8, F)
-    lane = jnp.arange(8 * F, dtype=jnp.int32)  # [8F]
     grads = []
     for l in range(L):
-        il, gl = idx2[l], gr[l]  # [N8], [N8, F]
-        vals_l = jnp.take(gl, lane % F, axis=-1)  # [N8, 8F]
-        vals_l = jnp.where(
-            (lane[None, :] // F) == (il & 7)[:, None], vals_l, 0.0
-        )
-        # dead marched samples have all-zero grad rows; flag them from
-        # the narrow pre-packing rows so the serial RMW skips them
-        live = jnp.any(gl != 0.0, axis=-1)
-        grads.append(
-            scatter_add_rows(
-                jnp.where(live, il >> 3, -1), vals_l, T // 8
-            ).reshape(T, F)
-        )
+        V = min(int(res[l]) ** 3, T)
+        gl = scatter_add_rows(idx2[l], gr[l], V)
+        if V < T:
+            gl = jnp.concatenate([gl, jnp.zeros((T - V, F), gl.dtype)])
+        grads.append(gl)
     grad_table = jnp.stack(grads).astype(table.dtype)
 
     # --- position gradient: d(out)/dx through the trilerp weights ---

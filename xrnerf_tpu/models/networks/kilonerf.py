@@ -17,7 +17,7 @@ the occupancy grid is a plain bool array built by one jitted sweep.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,9 +80,10 @@ def distance_transform_linf(occ: jnp.ndarray, max_d: int = 15) -> jnp.ndarray:
     """L-inf (chessboard) distance-in-cells to the nearest occupied cell.
 
     0 on occupied cells; capped at ``max_d``. Built by ``max_d``
-    iterations of a separable 3-wide min-erosion — a pure dense jnp
-    computation, cheap enough to recompute from the bool grid inside a
-    jitted render (XLA CSEs it across the chunk's uses).
+    iterations of a separable 3-wide min-erosion. NOT cheap at render
+    time (~45 reduce_window passes over the grid): precompute once per
+    grid via ``prepare_march_aux`` and pass the result to the marches —
+    recomputing it per chunk dominated the round-4 frame profile.
     """
     import jax.lax as lax
 
@@ -102,6 +103,23 @@ def distance_transform_linf(occ: jnp.ndarray, max_d: int = 15) -> jnp.ndarray:
     return lax.fori_loop(0, max_d, erode, d)
 
 
+class KiloAux(NamedTuple):
+    """Inference aux: occupancy + its precomputed L-inf distance field.
+
+    The distance transform costs ~45 reduce_window passes over the full
+    grid; recomputing it inside every chunk render dominated the frame
+    (round-4 profiling). ``prepare_march_aux`` builds it once per grid;
+    the network accepts either a raw bool grid (computes inline) or this.
+    """
+
+    occ: jnp.ndarray  # [ox, oy, oz] bool
+    dist: jnp.ndarray  # [ox, oy, oz] int32 L-inf distance to occupancy
+
+
+def prepare_march_aux(occ: jnp.ndarray) -> KiloAux:
+    return KiloAux(occ=occ, dist=distance_transform_linf(occ))
+
+
 def kilonerf_sphere_march(
     rays_o: jnp.ndarray,  # [N, 3]
     rays_d: jnp.ndarray,  # [N, 3]
@@ -113,6 +131,7 @@ def kilonerf_sphere_march(
     n_candidates: int,
     n_keep: int,
     n_steps: int = 96,
+    dist: jnp.ndarray | None = None,
 ):
     """Sphere-trace ESS march: ~``n_steps`` grid lookups per ray instead
     of ``n_candidates``.
@@ -142,7 +161,8 @@ def kilonerf_sphere_march(
     ores = jnp.asarray(occ.shape)
     extent = domain_max - domain_min
     min_edge = jnp.min(extent / ores.astype(rays_o.dtype))
-    dist = distance_transform_linf(occ)  # [ox,oy,oz] int32
+    if dist is None:
+        dist = distance_transform_linf(occ)  # [ox,oy,oz] int32
     flat_dist = dist.reshape(-1)
 
     # start at the ray/domain entry (slab test), snapped up to the lattice
@@ -184,6 +204,122 @@ def kilonerf_sphere_march(
     return z_keep, mask, dt
 
 
+def kilonerf_pooled_march(
+    rays_o: jnp.ndarray,  # [N, 3]
+    rays_d: jnp.ndarray,  # [N, 3] (need NOT be unit-norm)
+    near: jnp.ndarray,  # [N, 1]
+    far: jnp.ndarray,  # [N, 1]
+    occ: jnp.ndarray,  # [ox, oy, oz] bool
+    domain_min: jnp.ndarray,
+    domain_max: jnp.ndarray,
+    n_candidates: int,
+    n_keep: int,
+    group: int = 8,
+    n_groups_keep: int = 8,
+    dist: jnp.ndarray | None = None,
+):
+    """Two-stage flat-gather ESS march — no scan, no sort.
+
+    The scan-based sphere march pays ~34 ns per occupancy lookup (96
+    sequential 65k-element gathers per chunk); flat batched gathers run
+    at ~2 ns/row on v5e (tools/exp_round4_scatter.py micro rates). This
+    march restructures ESS into two fully-batched passes over the SAME
+    z-lattice as the dense march:
+
+      stage A  test one center point per ``group`` consecutive
+               candidates against the L-inf distance transform: a group
+               is live iff dist[center_cell] <= r where r cells cover
+               the group's world half-extent — conservative for every
+               sample in the group (per-ray r handles unnormalized
+               dirs). [N, S/G] flat gather.
+      stage B  expand the first ``n_groups_keep`` live groups to their
+               ``group`` candidates and test each against the REAL grid
+               (exact dense-march semantics). [N, Kg*G] flat gather.
+
+    Compactions use the one-hot contraction (ops/compaction.py), so the
+    whole march is gathers + cumsums + fused elementwise. Kept samples
+    equal the dense march's first-``n_keep`` live set whenever the first
+    ``n_groups_keep`` live groups contain them (equivalence-tested);
+    budget overflow truncates from the far end, like every keep-K march
+    here and the reference's capped compaction.
+    """
+    from ...ops.compaction import keep_first_k
+
+    n = rays_o.shape[0]
+    S = n_candidates
+    G = group
+    assert S % G == 0, "n_candidates must be a multiple of group"
+    SG = S // G
+    Kg = n_groups_keep
+    o0, o1, o2 = (int(v) for v in occ.shape)  # static
+    dt = (far - near) / max(S - 1, 1)  # [N, 1]
+    dt1 = jnp.maximum(dt[:, 0], 1e-9)  # [N]
+    dnorm = jnp.linalg.norm(rays_d, axis=-1)  # [N]
+    extent = domain_max - domain_min  # [3]
+    min_edge = jnp.min(extent / jnp.asarray([o0, o1, o2], rays_o.dtype))
+    if dist is None:
+        dist = distance_transform_linf(occ)  # [ox,oy,oz] int32
+    flat_dist = dist.reshape(-1)
+    occ_f = occ.reshape(-1).astype(jnp.float32)  # f32: fast element gather
+
+    # Planar (structure-of-arrays) layout throughout: every bulk tensor
+    # is [steps, N] with N minor — a [..., 3]-minor layout stores 3 of
+    # each 128 vector lanes and measured ~10x slower on these volumes.
+    near1 = near[:, 0]
+    ox, oy, oz_ = rays_o[:, 0], rays_o[:, 1], rays_o[:, 2]
+    dx, dy, dz = rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]
+    ores = (o0, o1, o2)
+
+    def cells_planar(z):  # z [Q, N] -> (cidx [Q,N] int32, rel per axis)
+        rels, cids = [], []
+        for (oc, dc, dmn, ext, orr) in (
+            (ox, dx, domain_min[0], extent[0], o0),
+            (oy, dy, domain_min[1], extent[1], o1),
+            (oz_, dz, domain_min[2], extent[2], o2),
+        ):
+            rel = (oc[None, :] + dc[None, :] * z - dmn) / ext
+            rels.append(rel)
+            cids.append(
+                jnp.clip(jnp.floor(rel * orr).astype(jnp.int32), 0, orr - 1)
+            )
+        cidx = cids[0] * (o1 * o2) + cids[1] * o2 + cids[2]
+        return cidx, rels
+
+    # ---- stage A: group centers vs distance transform ----
+    gc = jnp.arange(SG, dtype=rays_o.dtype) * G + (G - 1) / 2.0  # [SG]
+    zc = near1[None, :] + gc[:, None] * dt1[None, :]  # [SG, N]
+    cidxc, relsc = cells_planar(zc)
+    half_w = (G - 1) / 2.0 * dt1 * dnorm  # [N] world half-extent of a group
+    r = jnp.floor(half_w / min_edge).astype(jnp.int32) + 1  # [N]
+    inb_c = jnp.ones_like(zc, dtype=bool)
+    for i, rel in enumerate(relsc):
+        m = (half_w / extent[i])[None, :]
+        inb_c &= (rel >= -m) & (rel < 1 + m)
+    liveA = inb_c & (flat_dist[cidxc] <= r[None, :])  # [SG, N]
+    gidx, gmask = keep_first_k(liveA.T, Kg)  # [N, Kg]
+
+    # ---- stage B: expand kept groups, exact per-sample test ----
+    s_idx = (gidx[:, :, None] * G + jnp.arange(G, dtype=jnp.int32)).reshape(
+        n, Kg * G
+    )  # [N, Kg*G] candidate indices (ascending: groups kept in order)
+    s_t = s_idx.T  # [Kg*G, N]
+    zB = near1[None, :] + s_t.astype(rays_o.dtype) * dt1[None, :]  # [KgG, N]
+    cidxB, relsB = cells_planar(zB)
+    inb = jnp.ones_like(zB, dtype=bool)
+    for rel in relsB:
+        inb &= (rel >= 0) & (rel < 1)
+    liveB = (
+        (occ_f[cidxB] > 0.5)
+        & inb
+        & jnp.repeat(gmask, G, axis=-1).T
+        & (s_t < S)
+    )  # [KgG, N]
+    kidx, mask = keep_first_k(liveB.T, n_keep)  # [N, K]
+    z_keep = jnp.take_along_axis(zB.T, kidx, axis=-1)
+    z_keep = jnp.where(mask, z_keep, far)
+    return z_keep, mask, dt
+
+
 @NETWORKS.register
 class KiloNerfNetwork(BaseNetwork):
     """Finetune/inference network over a fixed grid of tiny MLPs."""
@@ -197,8 +333,17 @@ class KiloNerfNetwork(BaseNetwork):
     multires_dirs: int = 4
     n_samples: int = 384
     n_keep: int = 32  # inference ESS budget; 0 = evaluate all n_samples
-    march: str = "dense"  # 'dense' | 'sphere' (distance-field ESS, ~6x fewer lookups)
+    # 'dense'  — test every candidate (flat gather)
+    # 'sphere' — scan-based distance-field ESS (~6x fewer lookups)
+    # 'pooled' — two-stage flat-gather ESS (no scan/sort; fastest)
+    march: str = "dense"
     n_march_steps: int = 96  # sphere march step budget
+    march_group: int = 8  # pooled: candidates per stage-A group
+    march_groups_keep: int = 8  # pooled: live groups kept per ray
+    # inference MoE cap: at most this many (live-first) samples reach
+    # the dispatch per chunk; 0 = all n_rays*n_keep slots. Parity with
+    # compacted_coord's target_batch_size (ngp_grid_sampler.py:229-234).
+    eval_budget: int = 0
     capacity_factor: float = 2.0
     white_bkgd: bool = True
     view_dep_reg: float = 1e-6
@@ -233,9 +378,14 @@ class KiloNerfNetwork(BaseNetwork):
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         dmin = jnp.asarray(self.domain_min)
         dmax = jnp.asarray(self.domain_max)
+        occ_aux, dist_aux = (
+            (aux.occ, aux.dist) if isinstance(aux, KiloAux) else (aux, None)
+        )
 
-        if not train and aux is not None and self.n_keep > 0:
-            return self._render_fast(batch, aux, dmin, dmax, viewdirs)
+        if not train and occ_aux is not None and self.n_keep > 0:
+            return self._render_fast(
+                batch, occ_aux, dmin, dmax, viewdirs, dist=dist_aux
+            )
 
         z_vals = sample_along_rays(
             rng if train else None, near, far, self.n_samples, perturb=train
@@ -245,12 +395,12 @@ class KiloNerfNetwork(BaseNetwork):
         flat = pts.reshape(n * s, 3)
         net_idx, local = assign_networks(flat, dmin, dmax, self.resolution)
 
-        if aux is not None:
+        if occ_aux is not None:
             # empty-space skip: points in unoccupied cells become inactive
-            ores = jnp.asarray(aux.shape)
+            ores = jnp.asarray(occ_aux.shape)
             rel = (flat - dmin) / (dmax - dmin)
             cell = jnp.clip(jnp.floor(rel * ores).astype(jnp.int32), 0, ores - 1)
-            occ = aux[cell[:, 0], cell[:, 1], cell[:, 2]]
+            occ = occ_aux[cell[:, 0], cell[:, 1], cell[:, 2]]
             net_idx = jnp.where(occ, net_idx, -1)
 
         dirs_flat = jnp.repeat(viewdirs, s, axis=0)
@@ -264,17 +414,25 @@ class KiloNerfNetwork(BaseNetwork):
         )
         return {"rgb": ret["rgb"], "disp": ret["disp"], "acc": ret["acc"], "depth": ret["depth"]}
 
-    def _render_fast(self, batch, occ, dmin, dmax, viewdirs):
+    def _render_fast(self, batch, occ, dmin, dmax, viewdirs, dist=None):
         """ESS + keep-K inference path (reference bar: 365-394 ms/frame,
         ``/root/reference/docs/en/benchmark.md:117-136``). Marches
         ``n_samples`` candidates, evaluates only ``n_keep`` live samples
         through the gather-only MoE dispatch, composites with the fixed
         candidate step as dt."""
         rays_o, rays_d = batch["rays_o"], batch["rays_d"]
-        if self.march == "sphere":
+        if self.march == "pooled":
+            z_keep, mask, dt = kilonerf_pooled_march(
+                rays_o, rays_d, batch["near"], batch["far"], occ,
+                dmin, dmax, self.n_samples, self.n_keep,
+                group=self.march_group, n_groups_keep=self.march_groups_keep,
+                dist=dist,
+            )
+        elif self.march == "sphere":
             z_keep, mask, dt = kilonerf_sphere_march(
                 rays_o, rays_d, batch["near"], batch["far"], occ,
                 dmin, dmax, self.n_samples, self.n_keep, self.n_march_steps,
+                dist=dist,
             )
         else:
             z_keep, mask, dt = kilonerf_march(
@@ -287,9 +445,34 @@ class KiloNerfNetwork(BaseNetwork):
         net_idx, local = assign_networks(flat, dmin, dmax, self.resolution)
         net_idx = jnp.where(mask.reshape(-1), net_idx, -1)
         dirs_flat = jnp.repeat(viewdirs, k, axis=0)
-        raw_rgb, raw_sigma = self.mlp(
-            local, dirs_flat, net_idx, gather_dispatch=True
-        )
+        M = self.eval_budget
+        if 0 < M < n * k:
+            # live-sample compaction before the MoE (same capped-budget
+            # semantics as the NGP sample_budget / the reference's
+            # compacted_coord): only M slots — live first, ray-major
+            # stable — reach the dispatch; overflow renders empty.
+            live = net_idx >= 0
+            iota = jnp.arange(n * k, dtype=jnp.int32)
+            _, perm = jax.lax.sort(
+                ((~live).astype(jnp.int32), iota), num_keys=1
+            )
+            sel = perm[:M]
+            rgb_c, sigma_c = self.mlp(
+                jnp.take(local, sel, axis=0),
+                jnp.take(dirs_flat, sel, axis=0),
+                jnp.take(net_idx, sel, axis=0),
+                gather_dispatch=True,
+            )
+            slot = jnp.where(iota < M, iota, M)
+            _, inv = jax.lax.sort((perm, slot), num_keys=1)
+            raw_rgb = jnp.concatenate([rgb_c, jnp.zeros((1, 3), rgb_c.dtype)])[inv]
+            raw_sigma = jnp.concatenate(
+                [sigma_c, jnp.full((1,), -1e3, sigma_c.dtype)]
+            )[inv]
+        else:
+            raw_rgb, raw_sigma = self.mlp(
+                local, dirs_flat, net_idx, gather_dispatch=True
+            )
         rgb = jax.nn.sigmoid(raw_rgb.reshape(n, k, 3).astype(jnp.float32))
         sigma = jax.nn.relu(raw_sigma.reshape(n, k).astype(jnp.float32))
         sigma = jnp.where(mask, sigma, 0.0)

@@ -127,6 +127,12 @@ def _pallas_scatter_add_rows(
     )(idx, vals)
 
 
+# Below this many update rows, one XLA scatter beats the sorted-segment
+# pipeline's fixed costs (3 sorts + cumsum); above it, the scatter-free
+# path's ~7 ns/row wins over scatter's ~42 (tools/exp_round4_scatter.py).
+_SORTED_SEGMENT_MIN_ROWS = 1 << 16
+
+
 def _scatter_local(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int) -> jnp.ndarray:
     # gate includes the 8 MB Mosaic-scratch headroom the kernel requests
     # on top of its footprint, so the XLA fallback always triggers before
@@ -140,6 +146,13 @@ def _scatter_local(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int) -> jnp.nd
         <= _VMEM_CAP_BYTES
     ):
         return _pallas_scatter_add_rows(idx, vals, num_rows)
+    if (
+        jax.default_backend() == "tpu"
+        and idx.shape[0] >= _SORTED_SEGMENT_MIN_ROWS
+    ):
+        from ..sorted_segment import dense_segment_grad
+
+        return dense_segment_grad(idx, vals, num_rows)
     # mode='drop' discards rows flagged -1 (skip_zero_rows) instead of
     # wrapping negative indices
     return (
