@@ -5,16 +5,21 @@ flagship config (8x256 MLP, 64+128 samples, posenc 10/4, fused Pallas
 MLPs), methodology notes below. ``extras`` adds the other headline
 rows the reference's benchmark table implies (SURVEY §6 / BASELINE.md):
 
-  ngp_vertex_rays_s    Instant-NGP train step, tcnn-exact vertex layout
-  ngp_brick_rays_s     Instant-NGP train step, TPU-fast brick layout
-  kilonerf_frame_ms    800x800 KiloNeRF inference frame (ref: 365-394 ms)
-  kilonerf_sphere_frame_ms  same frame with the distance-field
-                       sphere-trace march (~6x fewer grid lookups)
-  mipnerf_rays_s       Mip-NeRF train step (2 levels x 128 samples)
   lego_ttp25_s         seconds of post-compile training to reach train
                        PSNR 25 overfitting the real reference lego
                        fixture (2 views, 400x400) with the brick NGP —
                        an end-to-end optimizer+kernel wall-clock metric
+  ngp_vertex_rays_s    Instant-NGP train step, tcnn-exact vertex layout
+                       (real fixture rays + warmed occupancy grid)
+  ngp_brick_rays_s     Instant-NGP train step, TPU-fast brick layout
+  kilonerf_frame_ms    real 800x800 lego KiloNeRF inference frame, dense
+                       march (ref bar: 365-394 ms)
+  kilonerf_pooled_frame_ms  same frame, two-stage pooled-gather march
+  kilonerf_pooled_parity_db PSNR between dense and pooled renders of one
+                       chunk (masking-equivalence check)
+  kilonerf_sphere_frame_ms  same frame, scan sphere-trace march
+  mipnerf_rays_s       Mip-NeRF train step (2 levels x 128 samples)
+  gnr_rays_s           GNR train step at production shape
 
 The reference publishes no training-throughput numbers (SURVEY §6);
 ``vs_baseline`` normalizes the primary against REF_RAYS_S = 20_000

@@ -20,14 +20,21 @@ model = dict(
     multires=10,
     multires_dirs=4,
     n_samples=384,
-    # inference ESS: distance-field sphere-trace march (2x faster than
-    # the dense candidate march on v5e). Kept samples match the dense
-    # march's first-K live set whenever n_march_steps covers the ray's
-    # live span (positions stay on the same z lattice; the skip accounts
-    # for unnormalized ray dirs) — docs/benchmark.md KiloNeRF section.
-    march="sphere",
+    # inference ESS: two-stage pooled march (flat gathers, no scan/sort;
+    # fastest measured — docs/benchmark.md KiloNeRF section). Kept
+    # samples match the dense march's first-K live set whenever the
+    # group budget covers them; measured parity vs the dense march on
+    # the real lego grid: 52.8 dB (bench kilonerf_pooled_parity_db).
+    # Alternatives: march='sphere' (scan ESS, n_march_steps budget),
+    # march='dense' (test every candidate).
+    march="pooled",
+    march_group=8,
+    march_groups_keep=8,
     n_march_steps=96,
     n_keep=32,
+    # MoE cap (compacted_coord target_batch_size semantics): live-first
+    # samples reaching the dispatch per eval chunk
+    eval_budget=768 * 1024,
     capacity_factor=2.0,
     white_bkgd=True,
     view_dep_reg=1e-6,
