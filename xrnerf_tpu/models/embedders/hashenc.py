@@ -457,10 +457,14 @@ class BrickHashEncoding(nn.Module):
     codim-2 exception remains on the curves where a face plane of one
     lattice intersects a face plane of the other (both bumps vanish,
     the normalized weights snap to 1/2 each while both trilerp values
-    jump — a bounded jump, halved vs. the raw layouts). This is weaker
-    than the vertex layout's true C0 trilerp but removes the dominant
-    (2D-measure) artifact at brick gather cost; the custom VJP carries
-    the extra d(weights)/dx term.
+    jump — a bounded jump, halved vs. the raw layouts). The custom VJP
+    carries the extra d(weights)/dx term.
+
+    MEASURED NEGATIVE RESULT (round-4 A/B, docs/benchmark.md): despite
+    the continuity, 'smooth' scores ~2 dB BELOW 'mean' at matched
+    budget — muting each lattice near its own faces costs capacity
+    where detail is needed. Kept for reproducibility; use 'mean' for
+    the fast path and the vertex layout for quality.
     """
 
     n_levels: int = 16
