@@ -153,3 +153,73 @@ def test_expected_sin_analytic():
     v = rng.rand(10, 6).astype(np.float32) * 0.1
     y, yv = expected_sin(jnp.asarray(x), jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(y), np.sin(x) * np.exp(-0.5 * v), atol=1e-6)
+
+
+def test_composite_gnr_matches_reference_make_nerf_output():
+    """GNR compositing parity. The reference's renderer module cannot be
+    imported standalone (cv2/mesh_grid/turtle imports), so this test
+    evaluates the EXACT formula of GnrRenderer.make_nerf_output
+    (/root/reference/xrnerf/models/renders/gnr_render.py:311-357) in
+    torch — 1e10-padded dists * norm, sigmoid rgb, relu-density alpha,
+    exclusive cumprod transmittance, attention blend over
+    [self, source_views], white-bkgd residual — and asserts our
+    composite_gnr reproduces it."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from xrnerf_tpu.models.renders.gnr_render import composite_gnr
+
+    rng = np.random.RandomState(0)
+    R, S, V = 9, 17, 4
+    nerf_output = rng.randn(R, S, 4 + V + 1).astype(np.float32)
+    t_vals = np.sort(rng.rand(R, S).astype(np.float32), axis=-1)
+    norm = rng.rand(R, 1).astype(np.float32) + 0.5
+    source_rgb = rng.rand(R, S, V, 3).astype(np.float32)
+    # attention rows sum free (the reference applies softmax upstream;
+    # the compositor takes raw weights)
+    att = rng.rand(R, S, V + 1).astype(np.float32)
+
+    # --- reference formula (gnr_render.py:311-357), is_train=False ---
+    tno = torch.from_numpy(nerf_output)
+    tt = torch.from_numpy(t_vals)
+    tn = torch.from_numpy(norm)
+    dists = tt[..., 1:] - tt[..., :-1]
+    dists = torch.cat([dists, torch.tensor([1e10]).expand(dists[..., :1].shape)], -1)
+    dists = dists * tn
+    rgb = torch.sigmoid(tno[..., :3])
+    alpha = 1.0 - torch.exp(-torch.relu(tno[..., 3]))
+    weights = alpha * torch.cumprod(
+        torch.cat([torch.ones((alpha.shape[0], 1)), 1.0 - alpha + 1e-10], -1), -1
+    )[:, :-1]
+    rgb_map = torch.sum(weights[..., None] * rgb, -2)
+    tsrc = torch.cat(
+        [rgb.unsqueeze(-2), torch.from_numpy(source_rgb)], dim=-2
+    )
+    tatt = torch.from_numpy(att)
+    src_att = torch.sum(tsrc * tatt[..., None], dim=-2)
+    att_rgb_map = torch.sum(weights[..., None] * src_att, -2)
+    acc = torch.sum(weights, -1)
+    rgb_map = rgb_map + (1.0 - acc[..., None])
+    att_rgb_map = att_rgb_map + (1.0 - acc[..., None])
+
+    # --- ours ---
+    out = composite_gnr(
+        jnp.asarray(nerf_output[..., :3]),
+        jnp.asarray(nerf_output[..., 3]),
+        jnp.asarray(t_vals),
+        jnp.asarray(norm),
+        rng=None,
+        att=jnp.asarray(att),
+        source_rgb=jnp.asarray(source_rgb),
+        white_bkgd=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), rgb_map.numpy(), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["att_rgb"]), att_rgb_map.numpy(), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["weights"]), weights.numpy(), rtol=1e-5, atol=1e-6
+    )

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LEGO = "/root/reference/test/datasets/data/nerf_synthetic/lego"
 
 
-def run(layout: str, iters: int, half_res: bool, batch: int, blend: str = "mean"):
+def run(layout: str, iters: int, half_res: bool, batch: int, blend: str = "mean", eval_chunk: int = 16384):
     import jax
     import jax.numpy as jnp
     import optax
@@ -86,7 +86,7 @@ def run(layout: str, iters: int, half_res: bool, batch: int, blend: str = "mean"
     def render_chunk(p, batch):
         return net.apply({"params": p}, batch, rng=None, train=False, aux=aux)["rgb"]
 
-    chunk = 65536
+    chunk = eval_chunk
     val_psnrs, val_ssims = [], []
     for vi in ds.i_val:
         rays = ds.image_rays(vi)
@@ -125,13 +125,14 @@ def main():
     p.add_argument("--half_res", action="store_true")
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--blend", default="mean", choices=["mean", "smooth"])
+    p.add_argument("--eval_chunk", type=int, default=16384)
     args = p.parse_args()
     if not os.path.isdir(LEGO):
         sys.exit("reference lego fixture not mounted")
 
     layouts = ["brick", "vertex"] if args.layout == "both" else [args.layout]
     results = [
-        run(lo, args.iters, args.half_res, args.batch, args.blend)
+        run(lo, args.iters, args.half_res, args.batch, args.blend, args.eval_chunk)
         for lo in layouts
     ]
     print(json.dumps(results, indent=1))

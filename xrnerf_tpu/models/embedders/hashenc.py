@@ -59,23 +59,33 @@ def _vertex_cells(x: jnp.ndarray, cfg) -> tuple:
     t = xl - x0  # trilerp fractions in [0,1)
     xi = x0.astype(jnp.int32)
 
-    corners = jnp.asarray(_CORNERS, jnp.int32)  # [8, 3]
-    cc = xi[:, :, None, :] + corners[None, None, :, :]  # [L, N, 8, 3]
-    cc = jnp.clip(cc, 0, jnp.asarray(res_np, jnp.int32)[:, None, None, None] - 1)
+    # Per-corner index computation from clipped per-axis coords: a
+    # broadcasted [L, N, 8, 3] corner tensor pads its 3-minor dim to 128
+    # lanes (42x) and OOMed the eval renderer at big chunks when XLA
+    # materialized it; eight [L, N] computations never do.
+    res_i = jnp.asarray(res_np, jnp.int32)[:, None]
+    p = (
+        np.int32(_PRIMES[0]),
+        np.int32(np.uint32(_PRIMES[1]).view(np.int32)),
+        np.int32(np.uint32(_PRIMES[2]).view(np.int32)),
+    )
+    ax = []  # ax[d] = (coord at offset 0, coord at offset 1), each [L, N]
+    for d in range(3):
+        c0 = jnp.clip(xi[..., d], 0, res_i - 1)
+        c1 = jnp.clip(xi[..., d] + 1, 0, res_i - 1)
+        ax.append((c0, c1))
 
-    use_dense = res_np**3 <= T  # [L] np.bool_
-    res_i = jnp.asarray(res_np, jnp.int32)[:, None, None]
-    dense_idx = cc[..., 0] + res_i * (cc[..., 1] + res_i * cc[..., 2])
-    # uint32-style wrap-around hash (tcnn semantics); int32 mul wraps in
-    # XLA and jnp.mod returns a value in [0, T) even for negatives.
-    hash_idx = (
-        cc[..., 0] * np.int32(_PRIMES[0])
-        ^ cc[..., 1] * np.int32(np.uint32(_PRIMES[1]).view(np.int32))
-        ^ cc[..., 2] * np.int32(np.uint32(_PRIMES[2]).view(np.int32))
-    ) % T
-    idx = jnp.where(
-        jnp.asarray(use_dense)[:, None, None], dense_idx % T, hash_idx
-    ).astype(jnp.int32)
+    use_dense = jnp.asarray(res_np**3 <= T)[:, None]  # [L, 1]
+    corners_idx = []
+    for (i, j, k) in _CORNERS:
+        cx, cy, cz = ax[0][i], ax[1][j], ax[2][k]
+        dense_idx = cx + res_i * (cy + res_i * cz)
+        # uint32-style wrap-around hash (tcnn semantics); int32 mul
+        # wraps in XLA and jnp.mod returns a value in [0, T) even for
+        # negatives.
+        hash_idx = (cx * p[0] ^ cy * p[1] ^ cz * p[2]) % T
+        corners_idx.append(jnp.where(use_dense, dense_idx % T, hash_idx))
+    idx = jnp.stack(corners_idx, axis=-1).astype(jnp.int32)  # [L, N, 8]
     return idx, t
 
 
@@ -266,12 +276,16 @@ def _brick_cells(x: jnp.ndarray, cfg, k: int = 0) -> tuple:
 
 
 def _corner_weights(t: jnp.ndarray) -> jnp.ndarray:
-    """t [L,N,3] -> trilerp weights [L,N,8] (corner order = _CORNERS)."""
-    c = jnp.asarray(_CORNERS, t.dtype)  # [8,3]
-    w = jnp.where(
-        c[None, None, :, :] == 1.0, t[:, :, None, :], 1.0 - t[:, :, None, :]
-    )  # [L,N,8,3]
-    return w[..., 0] * w[..., 1] * w[..., 2]
+    """t [L,N,3] -> trilerp weights [L,N,8] (corner order = _CORNERS).
+
+    Built from per-axis factor pairs ([L, N] each) instead of a
+    broadcast-select [L, N, 8, 3] tensor, whose 3-minor dim pads 42x in
+    HBM when XLA materializes it (eval-renderer OOM at 65k-ray chunks).
+    """
+    w = [(1.0 - t[..., d], t[..., d]) for d in range(3)]
+    return jnp.stack(
+        [w[0][i] * w[1][j] * w[2][k] for (i, j, k) in _CORNERS], axis=-1
+    )
 
 
 def _brick_rows(table: jnp.ndarray, idx: jnp.ndarray, cfg, k: int) -> jnp.ndarray:
