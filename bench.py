@@ -283,7 +283,7 @@ def _lego_kilonerf_inputs(chunk=65536):
 
 
 def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
-                         march="dense"):
+                         march="dense", cull=False):
     import jax
     import jax.numpy as jnp
 
@@ -333,13 +333,75 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
     def render_chunk(params, b):
         return net.apply({"params": params}, b, rng=None, train=False, aux=aux)["rgb"]
 
-    def frame():
-        acc = None
-        for b in chunks:
-            acc = render_chunk(params, b)
-        return float(acc[0, 0])  # forces completion
+    if cull and real:
+        # frame-level conservative ray culling (kilonerf_strip_active):
+        # a cheap strip-shared distance-field prepass marks rays that
+        # provably hit nothing; only chunks of active rays render, the
+        # rest is background fill — the static-shape analog of the
+        # reference CUDA renderer's per-ray early exit. Output-identical
+        # to the uncalled frame (culled rays have no live samples).
+        from xrnerf_tpu.models.networks.kilonerf import kilonerf_strip_active
+
+        dmin_a = jnp.asarray(dmin, jnp.float32)
+        dmax_a = jnp.asarray(dmax, jnp.float32)
+
+        # full ray bundle stays resident on device; active rays are
+        # gathered into dense chunks ON DEVICE (a 65k-row gather, ~ms)
+        # rather than host fancy-indexing + re-upload per chunk.
+        full_dev = {
+            k: jnp.asarray(np.concatenate([np.asarray(c[k]) for c in chunks]))
+            for k in chunks[0]
+        }
+        n_all = int(full_dev["rays_o"].shape[0])
+
+        @jax.jit
+        def _active_frame():
+            # one whole-frame prepass call: on a relay-attached chip each
+            # dispatch+sync costs ~20-30 ms, so per-chunk prepass calls
+            # would eat the cull win in launch latency alone
+            return kilonerf_strip_active(
+                full_dev["rays_o"], full_dev["rays_d"], full_dev["near"],
+                full_dev["far"], aux.dist, dmin_a, dmax_a,
+                strip=16, n_probes=48,
+            )
+
+        @jax.jit
+        def render_sel(params, sel):
+            cb = {k: v[sel] for k, v in full_dev.items()}
+            return net.apply(
+                {"params": params}, cb, rng=None, train=False, aux=aux
+            )["rgb"]
+
+        def frame():
+            act = np.asarray(_active_frame())
+            idx = np.nonzero(act)[0]
+            frame.n_chunks = -(-idx.size // chunk)
+            if frame.n_chunks >= len(chunks):  # nothing culled: no-regret
+                acc = None
+                for b in chunks:
+                    acc = render_chunk(params, b)
+                return float(acc[0, 0])
+            pad = (-idx.size) % chunk
+            idxp = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
+            out = np.ones((n_all, 3), np.float32)  # white background
+            for s in range(0, idxp.size, chunk):
+                sel = idxp[s : s + chunk]
+                out[sel] = np.asarray(
+                    render_sel(params, jnp.asarray(sel.astype(np.int32)))
+                )
+            return float(out[0, 0])
+
+    else:
+
+        def frame():
+            acc = None
+            for b in chunks:
+                acc = render_chunk(params, b)
+            return float(acc[0, 0])  # forces completion
 
     frame()  # compile + warm
+    if cull and real:
+        log(f"[bench] kilonerf cull: {frame.n_chunks}/{len(chunks)} chunks active")
     t0 = time.perf_counter()
     frames = 2
     for _ in range(frames):
@@ -553,6 +615,11 @@ def main():
     guarded(
         "kilonerf_pooled_frame_ms",
         lambda: bench_kilonerf_frame(march="pooled"), "ms",
+        vs=lambda v: KILONERF_REF_MS / v, est_s=120.0,
+    )
+    guarded(
+        "kilonerf_cull_frame_ms",
+        lambda: bench_kilonerf_frame(march="pooled", cull=True), "ms",
         vs=lambda v: KILONERF_REF_MS / v, est_s=120.0,
     )
     guarded("kilonerf_pooled_parity_db", bench_kilonerf_parity, "dB", est_s=100.0)

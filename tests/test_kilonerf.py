@@ -389,3 +389,71 @@ def test_eval_budget_compaction_matches_full_eval():
     np.testing.assert_allclose(
         np.asarray(out_cap["rgb"]), np.asarray(out_full["rgb"]), atol=2e-5
     )
+
+
+def test_strip_active_is_conservative():
+    """Frame-level culling must never mark a ray inactive that the dense
+    march finds live samples on — for coherent camera-style strips AND
+    adversarial incoherent strips (the radius is data-dependent)."""
+    import numpy as np
+
+    from xrnerf_tpu.models.networks.kilonerf import (
+        distance_transform_linf,
+        kilonerf_march,
+        kilonerf_strip_active,
+    )
+
+    rng = np.random.RandomState(7)
+    G, S, K, strip = 16, 96, 16, 8
+    occ = jnp.asarray(rng.rand(G, G, G) < 0.08)
+    dist = distance_transform_linf(occ)
+    dmin = jnp.asarray([-1.0, -1.0, -1.0])
+    dmax = jnp.asarray([1.0, 1.0, 1.0])
+
+    for coherent in (True, False):
+        N = 128
+        if coherent:
+            # pinhole-style bundle: shared origin, small angular steps
+            base = np.array([0.1, -0.2, 1.0], np.float32)
+            jit = rng.randn(N, 3).astype(np.float32) * 0.01
+            d = base[None, :] + jit
+            ro = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (N, 1))
+        else:
+            d = rng.randn(N, 3).astype(np.float32)
+            ro = rng.randn(N, 3).astype(np.float32) * 0.3
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d *= (1.0 + 0.4 * rng.rand(N, 1)).astype(np.float32)  # unnormalized
+        ro, rd = jnp.asarray(ro), jnp.asarray(d)
+        near = jnp.full((N, 1), 0.5, jnp.float32)
+        far = jnp.full((N, 1), 4.0, jnp.float32)
+
+        _, m_d, _ = kilonerf_march(ro, rd, near, far, occ, dmin, dmax, S, K)
+        live_ray = np.asarray(jnp.any(m_d, axis=-1))
+        active = np.asarray(
+            kilonerf_strip_active(
+                ro, rd, near, far, dist, dmin, dmax, strip=strip, n_probes=48
+            )
+        )
+        assert active.shape == (N,)
+        # conservative: live => active (no false culls)
+        assert not np.any(live_ray & ~active), (
+            f"coherent={coherent}: culled a live ray"
+        )
+    # culling power: on a single-blob scene, strips aimed away from the
+    # blob must be culled (this is the whole point of the prepass)
+    occ1 = np.zeros((G, G, G), bool)
+    occ1[7:9, 7:9, 7:9] = True
+    dist1 = distance_transform_linf(jnp.asarray(occ1))
+    N = 64
+    on = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (N // 2, 1))
+    off = np.tile(np.array([1.0, 1.0, -0.2], np.float32), (N // 2, 1))
+    d = np.concatenate([on, off]) + rng.randn(N, 3).astype(np.float32) * 0.005
+    ro = jnp.asarray(np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (N, 1)))
+    active = np.asarray(
+        kilonerf_strip_active(
+            ro, jnp.asarray(d), jnp.full((N, 1), 0.5), jnp.full((N, 1), 4.0),
+            dist1, dmin, dmax, strip=strip, n_probes=48,
+        )
+    )
+    assert np.all(active[: N // 2])  # through the blob
+    assert not np.any(active[N // 2 :])  # aimed away

@@ -320,6 +320,81 @@ def kilonerf_pooled_march(
     return z_keep, mask, dt
 
 
+def kilonerf_strip_active(
+    rays_o: jnp.ndarray,  # [N, 3]
+    rays_d: jnp.ndarray,  # [N, 3] (need NOT be unit-norm)
+    near: jnp.ndarray,  # [N, 1]
+    far: jnp.ndarray,  # [N, 1]
+    dist: jnp.ndarray,  # [ox,oy,oz] int32 L-inf distance transform
+    domain_min: jnp.ndarray,
+    domain_max: jnp.ndarray,
+    strip: int = 16,
+    n_probes: int = 48,
+) -> jnp.ndarray:
+    """Conservative frame-level ray culling: [N] bool, False only for rays
+    that provably have NO occupied sample.
+
+    The reference's CUDA renderer skips empty rays via per-thread early
+    exit (kilonerf_cuda render loop); with static shapes the TPU analog
+    is a cheap conservative prepass + host-side chunk compaction: strips
+    of ``strip`` consecutive rays (consecutive pixels of a row-major
+    bundle) share one probe march along their mean ray, with the probe
+    radius inflated by the strip's exact worst-case divergence, so a
+    strip tests ``n_probes`` distance-field lookups instead of
+    ``strip * n_candidates`` occupancy lookups. Inactive rays render as
+    pure background under every march here (no live samples -> acc 0),
+    so culling them is output-identical.
+
+    Soundness: a live sample of ray i at t in [near_i, far_i] lies
+    within L-inf radius spread + |dc|_inf*(t1-t0)/(2P) of some probe
+    point (spread bounds |p_i(t)-p_c(t)| at the segment endpoints, which
+    is exact for linear rays); the probe's cell then has L-inf cell
+    distance <= floor(R/min_edge)+1, which is what the distance field
+    test accepts.
+    """
+    n = rays_o.shape[0]
+    assert n % strip == 0, "ray count must be a multiple of strip"
+    ns = n // strip
+    ro = rays_o.reshape(ns, strip, 3)
+    rd = rays_d.reshape(ns, strip, 3)
+    t0 = jnp.min(near.reshape(ns, strip), axis=1)  # [ns]
+    t1 = jnp.max(far.reshape(ns, strip), axis=1)  # [ns]
+    oc = jnp.mean(ro, axis=1)  # [ns, 3]
+    dc = jnp.mean(rd, axis=1)  # [ns, 3]
+    do_ = ro - oc[:, None]
+    dd = rd - dc[:, None]
+    spread = jnp.maximum(
+        jnp.max(jnp.abs(do_ + t0[:, None, None] * dd), axis=(1, 2)),
+        jnp.max(jnp.abs(do_ + t1[:, None, None] * dd), axis=(1, 2)),
+    )  # [ns] exact endpoint bound, linear in t
+    seg = (t1 - t0) / n_probes  # [ns]
+    half = 0.5 * seg * jnp.max(jnp.abs(dc), axis=-1)  # [ns] along-ray L-inf
+    R = spread + half  # [ns] world L-inf probe radius
+
+    o0, o1, o2 = (int(v) for v in dist.shape)
+    ores = jnp.asarray([o0, o1, o2], rays_o.dtype)
+    extent = domain_max - domain_min
+    min_edge = jnp.min(extent / ores)
+    r = jnp.floor(R / min_edge).astype(jnp.int32) + 1  # [ns] cell radius
+    flat_dist = dist.reshape(-1)
+
+    tm = t0[:, None] + (jnp.arange(n_probes, dtype=rays_o.dtype) + 0.5) * seg[
+        :, None
+    ]  # [ns, P]
+    p = oc[:, None, :] + dc[:, None, :] * tm[..., None]  # [ns, P, 3]
+    rel = (p - domain_min) / extent
+    m = (R[:, None] / extent)[..., None, :] * jnp.ones_like(rel)
+    inb = jnp.all((rel >= -m) & (rel < 1 + m), axis=-1)  # [ns, P]
+    cell = jnp.clip(
+        jnp.floor(rel * ores).astype(jnp.int32),
+        0,
+        jnp.asarray([o0 - 1, o1 - 1, o2 - 1]),
+    )
+    cidx = cell[..., 0] * (o1 * o2) + cell[..., 1] * o2 + cell[..., 2]
+    hit = inb & (flat_dist[cidx] <= r[:, None])  # [ns, P]
+    return jnp.repeat(jnp.any(hit, axis=-1), strip)
+
+
 @NETWORKS.register
 class KiloNerfNetwork(BaseNetwork):
     """Finetune/inference network over a fixed grid of tiny MLPs."""
@@ -451,24 +526,48 @@ class KiloNerfNetwork(BaseNetwork):
             # semantics as the NGP sample_budget / the reference's
             # compacted_coord): only M slots — live first, ray-major
             # stable — reach the dispatch; overflow renders empty.
-            live = net_idx >= 0
-            iota = jnp.arange(n * k, dtype=jnp.int32)
-            _, perm = jax.lax.sort(
-                ((~live).astype(jnp.int32), iota), num_keys=1
+            #
+            # Every march here front-compacts per ray (keep_first_k
+            # contract: ray i's live slots are exactly (i, 0..c_i)), so
+            # the global live-first ray-major selection is a ragged
+            # concat of per-ray prefixes. Slot (i, j) lands at
+            # offset[i] + j with offset the exclusive cumsum of live
+            # counts — one [n]-row scatter-add plus cumsums replaces the
+            # former pair of [n*k]-row sorts (2x 2.1M rows per chunk,
+            # the chunk's largest non-gather cost), selecting the SAME
+            # slots in the SAME order.
+            c = jnp.sum(mask.astype(jnp.int32), axis=-1)  # [n] live/ray
+            offset = jnp.cumsum(c) - c  # [n] exclusive
+            # ray_id[m] = max{i : offset[i] <= m}: scatter ray starts,
+            # cumsum. Ties (c=0 runs) resolve to the last ray, whose
+            # prefix owns the slot.
+            starts = (
+                jnp.zeros((M + 1,), jnp.int32)
+                .at[jnp.minimum(offset, M)]
+                .add(1)
             )
-            sel = perm[:M]
+            ray_id = jnp.clip(jnp.cumsum(starts[:M]) - 1, 0, n - 1)  # [M]
+            j_in = jnp.arange(M, dtype=jnp.int32) - offset[ray_id]
+            valid = (j_in >= 0) & (j_in < c[ray_id])  # False past total live
+            sel = jnp.where(valid, ray_id * k + jnp.maximum(j_in, 0), 0)
             rgb_c, sigma_c = self.mlp(
                 jnp.take(local, sel, axis=0),
                 jnp.take(dirs_flat, sel, axis=0),
-                jnp.take(net_idx, sel, axis=0),
+                jnp.where(valid, jnp.take(net_idx, sel, axis=0), -1),
                 gather_dispatch=True,
             )
-            slot = jnp.where(iota < M, iota, M)
-            _, inv = jax.lax.sort((perm, slot), num_keys=1)
-            raw_rgb = jnp.concatenate([rgb_c, jnp.zeros((1, 3), rgb_c.dtype)])[inv]
-            raw_sigma = jnp.concatenate(
-                [sigma_c, jnp.full((1,), -1e3, sigma_c.dtype)]
-            )[inv]
+            # un-compact without a sort: slot (i, j) sits at offset[i]+j;
+            # rays past the budget truncate from the far end (overflow
+            # renders empty, as before).
+            pos = offset[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+            ok = (mask & (pos < M)).reshape(-1)
+            posc = jnp.clip(pos, 0, M - 1).reshape(-1)
+            raw_rgb = jnp.where(
+                ok[:, None], jnp.take(rgb_c, posc, axis=0), 0
+            ).astype(rgb_c.dtype)
+            raw_sigma = jnp.where(
+                ok, jnp.take(sigma_c, posc, axis=0), -1e3
+            ).astype(sigma_c.dtype)
         else:
             raw_rgb, raw_sigma = self.mlp(
                 local, dirs_flat, net_idx, gather_dispatch=True
