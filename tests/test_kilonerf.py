@@ -457,3 +457,59 @@ def test_strip_active_is_conservative():
     )
     assert np.all(active[: N // 2])  # through the blob
     assert not np.any(active[N // 2 :])  # aimed away
+
+
+def test_renderer_cull_is_output_identical():
+    """render_rays_chunked(active_fn=...) must reproduce the uncalled
+    render exactly: culled rays are provably background."""
+    import numpy as np
+
+    from xrnerf_tpu.core.renderer import render_rays_chunked
+    from xrnerf_tpu.models.networks.kilonerf import (
+        KiloNerfNetwork,
+        kilonerf_strip_active,
+        prepare_march_aux,
+    )
+
+    rng = np.random.RandomState(11)
+    G = 16
+    occ = np.zeros((G, G, G), bool)
+    occ[7:9, 7:9, 7:9] = True
+    aux = prepare_march_aux(jnp.asarray(occ))
+    N = 64
+    on = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (N // 2, 1))
+    off = np.tile(np.array([1.0, 1.0, -0.2], np.float32), (N // 2, 1))
+    d = np.concatenate([on, off]) + rng.randn(N, 3).astype(np.float32) * 0.005
+    rays = {
+        "rays_o": np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (N, 1)),
+        "rays_d": d,
+        "near": np.full((N, 1), 0.5, np.float32),
+        "far": np.full((N, 1), 4.0, np.float32),
+    }
+    net = KiloNerfNetwork(
+        resolution=(4, 4, 4), domain_min=(-1.0,) * 3, domain_max=(1.0,) * 3,
+        hidden=8, n_hidden_layers=1, multires=2, multires_dirs=2,
+        n_samples=64, n_keep=8, march="pooled",
+    )
+    b0 = {k: jnp.asarray(v) for k, v in rays.items()}
+    params = net.init(jax.random.PRNGKey(0), b0, rng=None, train=False, aux=aux)[
+        "params"
+    ]
+
+    def apply_fn(p, b, r):
+        return net.apply({"params": p}, b, rng=None, train=False, aux=aux)
+
+    def active_fn(b):
+        return kilonerf_strip_active(
+            b["rays_o"], b["rays_d"], b["near"], b["far"], aux.dist,
+            jnp.asarray([-1.0] * 3), jnp.asarray([1.0] * 3),
+            strip=8, n_probes=48,
+        )
+
+    base = render_rays_chunked(apply_fn, params, rays, chunk=32, keys=("rgb", "acc"))
+    culled = render_rays_chunked(
+        apply_fn, params, rays, chunk=32, keys=("rgb", "acc"),
+        active_fn=active_fn,
+    )
+    np.testing.assert_allclose(culled["rgb"], base["rgb"], atol=1e-6)
+    np.testing.assert_allclose(culled["acc"], base["acc"], atol=1e-6)

@@ -34,6 +34,8 @@ def render_rays_chunked(
     rng: Optional[jax.Array] = None,
     keys: tuple = ("rgb", "disp", "acc"),
     mesh: Optional[jax.sharding.Mesh] = None,
+    active_fn: Optional[Callable] = None,
+    background: Optional[Dict[str, float]] = None,
 ) -> Dict[str, np.ndarray]:
     """Run ``apply_fn(params, chunk_batch, rng)`` over [R, ...] rays.
 
@@ -42,6 +44,16 @@ def render_rays_chunked(
     batches are sharded along the mesh's data axis so eval renders use
     every chip instead of wasting N-1 of them (the reference renders
     rank-0-only; GSPMD splits ours across the pod).
+
+    ``active_fn(ray_dict) -> [R] bool`` enables conservative ray
+    culling (the static-shape analog of the reference CUDA renderers'
+    per-ray early exit): rays it marks inactive are never rendered and
+    receive the constant ``background`` fill per key (default 1.0 for
+    'rgb', 0.0 otherwise). The prepass MUST be conservative — only mark
+    rays whose render provably equals the background (e.g.
+    ``kilonerf_strip_active`` proves no occupied sample). Active rays
+    are compacted into full chunks, so a frame that is half empty costs
+    half the chunks.
     """
     # ``ctx_*`` keys (and scalars) are per-item context shared by every
     # chunk (e.g. SMPL vertices, frame index); only ray keys get chunked.
@@ -67,8 +79,51 @@ def render_rays_chunked(
         from jax.sharding import NamedSharding, PartitionSpec
 
         data_sh = NamedSharding(mesh, PartitionSpec("data"))
-    outs: Dict[str, list] = {k: [] for k in keys}
     total = n + n_pad
+
+    if active_fn is not None:
+        act = np.asarray(
+            _get_jitted(active_fn, None)(
+                {k: jax.numpy.asarray(v) for k, v in padded.items()}
+            )
+        )
+        idx = np.nonzero(act)[0]
+        if idx.size < total:  # something culled: compact + fill
+            bg = background or {}
+            sel_pad = (-idx.size) % chunk
+            idxp = (
+                np.concatenate([idx, np.zeros(sel_pad, np.int64)])
+                if sel_pad
+                else idx
+            )
+            result = {}
+            parts: Dict[str, list] = {k: [] for k in keys}
+            for start in range(0, idxp.size, chunk):
+                sel = idxp[start : start + chunk]
+                cb = {
+                    k: jax.numpy.asarray(v[sel]) for k, v in padded.items()
+                }
+                if data_sh is not None:
+                    cb = {k: jax.device_put(v, data_sh) for k, v in cb.items()}
+                cb.update(ctx)
+                ret = jitted(params, cb, rng)
+                for k in keys:
+                    if k in ret:
+                        parts[k].append(np.asarray(ret[k]))
+            for k, v in parts.items():
+                if not v:
+                    continue
+                flat = np.concatenate(v, axis=0)
+                out = np.full(
+                    (total, *flat.shape[1:]),
+                    float(bg.get(k, 1.0 if k == "rgb" else 0.0)),
+                    flat.dtype,
+                )
+                out[idxp] = flat
+                result[k] = out[:n]
+            return result
+
+    outs: Dict[str, list] = {k: [] for k in keys}
     for start in range(0, total, chunk):
         cb = {k: jax.numpy.asarray(v[start : start + chunk]) for k, v in padded.items()}
         if data_sh is not None:
