@@ -12,14 +12,20 @@ rows the reference's benchmark table implies (SURVEY §6 / BASELINE.md):
   ngp_vertex_rays_s    Instant-NGP train step, tcnn-exact vertex layout
                        (real fixture rays + warmed occupancy grid)
   ngp_brick_rays_s     Instant-NGP train step, TPU-fast brick layout
-  kilonerf_frame_ms    real 800x800 lego KiloNeRF inference frame, dense
-                       march (ref bar: 365-394 ms)
-  kilonerf_pooled_frame_ms  same frame, two-stage pooled-gather march
+  nerf_mfu_pct         measured model-FLOPs utilization of the primary
+                       row vs the v5e bf16 peak (analytic FLOP floor)
+  kilonerf_pooled_frame_ms  real 800x800 lego KiloNeRF inference frame,
+                       two-stage pooled-gather march (the config
+                       default; ref bar: 365-394 ms)
   kilonerf_pooled_parity_db PSNR between dense and pooled renders of one
                        chunk (masking-equivalence check)
+  kilonerf_cull_frame_ms    pooled + conservative frame-level ray cull
+  kilonerf_frame_ms    same frame, dense march (deprecated path, runs
+                       last, kept for the cross-round series)
   kilonerf_sphere_frame_ms  same frame, scan sphere-trace march
   mipnerf_rays_s       Mip-NeRF train step (2 levels x 128 samples)
   gnr_rays_s           GNR train step at production shape
+  neuralbody_rays_s    NeuralBody train step at production shape
 
 The reference publishes no training-throughput numbers (SURVEY §6);
 ``vs_baseline`` normalizes the primary against REF_RAYS_S = 20_000
@@ -150,6 +156,38 @@ def bench_nerf():
     return _train_throughput(net, batches, steps, calls=5)
 
 
+V5E_PEAK_BF16 = 197e12  # TPU v5e (v5 lite) peak bf16 FLOP/s per chip
+
+
+def nerf_train_flops_per_ray():
+    """Analytic matmul FLOPs of one flagship-NeRF training ray.
+
+    Counts every Dense in the coarse+fine MLPs (the model of
+    fields/nerf_mlp.py: posenc 63/27 inputs, 8x256 trunk with a skip
+    re-concat at layer 5, alpha/feature heads, 128-wide view branch),
+    x3 for forward + backward (standard dL/dx + dL/dW count). Sampler,
+    posenc, and compositing elementwise FLOPs are excluded — this is a
+    floor, so the MFU row is conservative."""
+    cp, cv, w = 63, 27, 256
+    per_pt = 2 * cp * w  # pts_0
+    for i in range(1, 8):
+        din = cp + w if i - 1 in (4,) else w
+        per_pt += 2 * din * w
+    per_pt += 2 * w * 1  # alpha
+    per_pt += 2 * w * w  # feature
+    per_pt += 2 * (w + cv) * (w // 2)  # views_0
+    per_pt += 2 * (w // 2) * 3  # rgb
+    pts_per_ray = 64 + (64 + 128)  # coarse MLP + fine MLP points
+    return 3 * per_pt * pts_per_ray
+
+
+def nerf_mfu_pct(rays_s):
+    """Measured model FLOPs utilization of the primary NeRF row against
+    the v5e bf16 peak (VERDICT r4 weak point 7: the docs' MFU claim must
+    be a bench output, not a hand calculation in prose)."""
+    return 100.0 * rays_s * nerf_train_flops_per_ray() / V5E_PEAK_BF16
+
+
 _GRID_CACHE = ".bench_lego_grid.npz"
 
 
@@ -250,6 +288,9 @@ def bench_mipnerf():
     return _train_throughput(net, batches, steps, calls=3)
 
 
+_KILO_INPUT_CACHE = {}
+
+
 def _lego_kilonerf_inputs(chunk=65536):
     """Real-scene KiloNeRF frame inputs (round-3 weak point 5): the
     occupancy grid is the warmed lego NGP grid's 128^3 bitfield (trained
@@ -257,7 +298,12 @@ def _lego_kilonerf_inputs(chunk=65536):
     the rays are the fixture camera's actual 800x800 get_rays bundle
     (unnormalized pixel dirs), chunked. Domain = NGP coords [0,1]^3.
 
+    Memoized per chunk size: four KiloNeRF rows share one build (the
+    round-4 deadline was partly self-inflicted re-building these).
+
     Returns (occ [128^3 bool], chunks list of ray dicts, n_rays)."""
+    if chunk in _KILO_INPUT_CACHE:
+        return _KILO_INPUT_CACHE[chunk]
     import jax.numpy as jnp
 
     from xrnerf_tpu.datasets.hashnerf import HashNerfDataset
@@ -279,7 +325,8 @@ def _lego_kilonerf_inputs(chunk=65536):
         c["near"] = jnp.full((chunk, 1), 2.0 * 0.33, jnp.float32)
         c["far"] = jnp.full((chunk, 1), 6.0 * 0.33, jnp.float32)
         chunks.append(c)
-    return occ, chunks, n_rays
+    _KILO_INPUT_CACHE[chunk] = (occ, chunks, n_rays)
+    return _KILO_INPUT_CACHE[chunk]
 
 
 def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
@@ -494,6 +541,49 @@ def bench_gnr(n_rand=1024, steps=3):
     return n_rand * steps / dt
 
 
+def bench_neuralbody(n_rand=1024, steps=3):
+    """NeuralBody end-to-end train step at production shape (the
+    configs/neuralbody/nb_zjumocap.py geometry: 6890 SMPL vertices,
+    16-dim latent codes, sparse-conv volume, 64 samples, 1024 rays).
+    First non-test evidence for the human-NeRF family (VERDICT r4
+    item 8). Returns rays/s."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from xrnerf_tpu.datasets.load.synthetic import make_synthetic_zju
+    from xrnerf_tpu.datasets.neuralbody import NeuralBodyDataset
+    from xrnerf_tpu.models.networks.neuralbody import NeuralBodyNetwork
+
+    arrays = make_synthetic_zju(n_frames=4, n_cams=4, H=512, W=512, n_verts=6890)
+    ds = NeuralBodyDataset(arrays=arrays, N_rand=n_rand, training_view=(0, 1, 2))
+    batch = {k: jnp.asarray(v) for k, v in ds.train_batch(0).items()}
+    net = NeuralBodyNetwork(num_frames=4, n_samples=64, white_bkgd=False)
+    params = net.init(jax.random.PRNGKey(0), batch, rng=None, train=False)["params"]
+    tx = optax.adam(5e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, k):
+        def lf(p):
+            out = net.apply({"params": p}, batch, rng=k, train=True)
+            return net.loss(out, batch)[0]
+
+        loss, g = jax.value_and_grad(lf)(params)
+        upd, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt2, loss
+
+    key = jax.random.PRNGKey(0)
+    params, opt, loss = step(params, opt, key)
+    float(loss)  # compile + drain
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt, loss = step(params, opt, jax.random.fold_in(key, i))
+    assert np.isfinite(float(loss))
+    dt = time.perf_counter() - t0
+    return n_rand * steps / dt
+
+
 def bench_lego_time_to_psnr(target_psnr=25.0, max_steps=3000, batch=8192):
     """Post-compile seconds of brick-NGP training to reach train PSNR
     ``target_psnr`` on the real 2-view lego fixture (half res)."""
@@ -602,34 +692,41 @@ def main():
     rays_s = bench_nerf()
     _STATE["primary"] = rays_s
     log(f"[bench] nerf: {rays_s:,.0f} rays/s ({time.perf_counter()-_T_START:.0f}s)")
+    # MFU is derived from the primary row — free, always emitted
+    guarded("nerf_mfu_pct", lambda: nerf_mfu_pct(rays_s), "%", est_s=0.0)
 
-    # north-star first (BASELINE.md primary metric), then the rest in
-    # ascending risk; every estimate assumes a warm compile cache.
+    # Ordering (VERDICT r4 weak point 1): north star first, then NGP,
+    # then the DEFAULT KiloNeRF path (pooled + its parity check) —
+    # these are the headline rows and must land before anything can eat
+    # the budget. Deprecated/diagnostic marches (dense, sphere) run
+    # LAST: no config uses them (configs/kilonerf/kilonerf_finetune.py
+    # defaults march='pooled'). Estimates assume a warm compile cache.
     guarded("lego_ttp25_s", bench_lego_time_to_psnr, "s", est_s=420.0)
     guarded("ngp_brick_rays_s", lambda: bench_ngp("brick"), "rays/s", est_s=150.0)
     guarded("ngp_vertex_rays_s", lambda: bench_ngp("vertex"), "rays/s", est_s=150.0)
     guarded(
-        "kilonerf_frame_ms", bench_kilonerf_frame, "ms",
-        vs=lambda v: KILONERF_REF_MS / v, est_s=150.0,
-    )
-    guarded(
         "kilonerf_pooled_frame_ms",
         lambda: bench_kilonerf_frame(march="pooled"), "ms",
-        vs=lambda v: KILONERF_REF_MS / v, est_s=120.0,
+        vs=lambda v: KILONERF_REF_MS / v, est_s=150.0,
     )
+    guarded("kilonerf_pooled_parity_db", bench_kilonerf_parity, "dB", est_s=80.0)
     guarded(
         "kilonerf_cull_frame_ms",
         lambda: bench_kilonerf_frame(march="pooled", cull=True), "ms",
-        vs=lambda v: KILONERF_REF_MS / v, est_s=120.0,
+        vs=lambda v: KILONERF_REF_MS / v, est_s=60.0,
     )
-    guarded("kilonerf_pooled_parity_db", bench_kilonerf_parity, "dB", est_s=100.0)
+    guarded("mipnerf_rays_s", bench_mipnerf, "rays/s", est_s=100.0)
+    guarded("gnr_rays_s", bench_gnr, "rays/s", est_s=150.0)
+    guarded("neuralbody_rays_s", bench_neuralbody, "rays/s", est_s=120.0)
     guarded(
         "kilonerf_sphere_frame_ms",
         lambda: bench_kilonerf_frame(march="sphere"), "ms",
         vs=lambda v: KILONERF_REF_MS / v, est_s=100.0,
     )
-    guarded("mipnerf_rays_s", bench_mipnerf, "rays/s", est_s=100.0)
-    guarded("gnr_rays_s", bench_gnr, "rays/s", est_s=150.0)
+    guarded(
+        "kilonerf_frame_ms", bench_kilonerf_frame, "ms",
+        vs=lambda v: KILONERF_REF_MS / v, est_s=120.0,
+    )
 
     emit_json()
 

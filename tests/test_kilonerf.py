@@ -490,6 +490,11 @@ def test_renderer_cull_is_output_identical():
         resolution=(4, 4, 4), domain_min=(-1.0,) * 3, domain_max=(1.0,) * 3,
         hidden=8, n_hidden_layers=1, multires=2, multires_dirs=2,
         n_samples=64, n_keep=8, march="pooled",
+        # no-overflow capacity: with the default factor the MoE drops
+        # samples chunk-composition-dependently, so renders at different
+        # chunk sizes are legitimately non-identical and the cross-chunk
+        # identity comparison below would be ill-posed
+        capacity_factor=64.0,
     )
     b0 = {k: jnp.asarray(v) for k, v in rays.items()}
     params = net.init(jax.random.PRNGKey(0), b0, rng=None, train=False, aux=aux)[
@@ -506,10 +511,34 @@ def test_renderer_cull_is_output_identical():
             strip=8, n_probes=48,
         )
 
-    base = render_rays_chunked(apply_fn, params, rays, chunk=32, keys=("rgb", "acc"))
+    keys = ("rgb", "disp", "acc")  # disp included: its background fill
+    # must match the uncalled empty-ray render (1/1e-10), ADVICE r4
+    base = render_rays_chunked(apply_fn, params, rays, chunk=32, keys=keys)
     culled = render_rays_chunked(
-        apply_fn, params, rays, chunk=32, keys=("rgb", "acc"),
-        active_fn=active_fn,
+        apply_fn, params, rays, chunk=32, keys=keys, active_fn=active_fn,
     )
     np.testing.assert_allclose(culled["rgb"], base["rgb"], atol=1e-6)
     np.testing.assert_allclose(culled["acc"], base["acc"], atol=1e-6)
+    np.testing.assert_allclose(culled["disp"], base["disp"], rtol=1e-5)
+
+    # chunk NOT a multiple of strip: prepass must pad internally
+    culled2 = render_rays_chunked(
+        apply_fn, params, rays, chunk=24, keys=keys,
+        active_fn=lambda b: kilonerf_strip_active(
+            b["rays_o"], b["rays_d"], b["near"], b["far"], aux.dist,
+            jnp.asarray([-1.0] * 3), jnp.asarray([1.0] * 3),
+            strip=16, n_probes=48,
+        ),
+    )
+    np.testing.assert_allclose(culled2["rgb"], base["rgb"], atol=1e-6)
+
+    # fully-culled frame: every key present, all-background, right shape
+    empty = render_rays_chunked(
+        apply_fn, params, rays, chunk=32, keys=keys,
+        active_fn=lambda b: jnp.zeros(b["rays_o"].shape[0], bool),
+    )
+    assert set(empty) == set(keys)
+    assert empty["rgb"].shape == base["rgb"].shape
+    np.testing.assert_allclose(empty["rgb"], 1.0)
+    np.testing.assert_allclose(empty["acc"], 0.0)
+    np.testing.assert_allclose(empty["disp"], 1e10)

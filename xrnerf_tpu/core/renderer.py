@@ -48,12 +48,15 @@ def render_rays_chunked(
     ``active_fn(ray_dict) -> [R] bool`` enables conservative ray
     culling (the static-shape analog of the reference CUDA renderers'
     per-ray early exit): rays it marks inactive are never rendered and
-    receive the constant ``background`` fill per key (default 1.0 for
-    'rgb', 0.0 otherwise). The prepass MUST be conservative — only mark
-    rays whose render provably equals the background (e.g.
-    ``kilonerf_strip_active`` proves no occupied sample). Active rays
-    are compacted into full chunks, so a frame that is half empty costs
-    half the chunks.
+    receive the constant ``background`` fill per key (defaults: 1.0 for
+    'rgb', 1e10 for 'disp' — an uncalled empty ray yields
+    disp = 1/1e-10, volume.py — and 0.0 otherwise). The prepass MUST be
+    conservative — only mark rays whose render provably equals the
+    background (e.g. ``kilonerf_strip_active`` proves no occupied
+    sample). Active rays are compacted into full chunks, so a frame
+    that is half empty costs half the chunks. A fully-culled frame
+    renders one probe chunk (to learn output shapes) and returns
+    all-background arrays.
     """
     # ``ctx_*`` keys (and scalars) are per-item context shared by every
     # chunk (e.g. SMPL vertices, frame index); only ray keys get chunked.
@@ -90,9 +93,39 @@ def render_rays_chunked(
         idx = np.nonzero(act)[0]
         if idx.size < total:  # something culled: compact + fill
             bg = background or {}
+
+            def bg_val(k):
+                return float(
+                    bg.get(k, 1.0 if k == "rgb" else 1e10 if k == "disp" else 0.0)
+                )
+
+            if idx.size == 0:
+                # fully-empty frame: render one probe chunk only to
+                # learn per-key output shapes/dtypes, then background-
+                # fill everything (ADVICE r4: returning {} crashed
+                # callers expecting result['rgb']).
+                cb = {
+                    k: jax.numpy.asarray(v[:chunk]) for k, v in padded.items()
+                }
+                cb.update(ctx)
+                ret = jitted(params, cb, rng)
+                return {
+                    k: np.full(
+                        (n, *np.asarray(ret[k]).shape[1:]),
+                        bg_val(k),
+                        np.asarray(ret[k]).dtype,
+                    )
+                    for k in keys
+                    if k in ret
+                }
             sel_pad = (-idx.size) % chunk
+            # pad with an ACTIVE index; pad-slot renders are DISCARDED
+            # below (only flat[:idx.size] is assigned) — a pad re-render
+            # can differ from the original slot's render whenever the
+            # network has cross-ray coupling (MoE capacity overflow), so
+            # it must never overwrite anything (ADVICE r4).
             idxp = (
-                np.concatenate([idx, np.zeros(sel_pad, np.int64)])
+                np.concatenate([idx, np.full(sel_pad, idx[0], np.int64)])
                 if sel_pad
                 else idx
             )
@@ -115,11 +148,9 @@ def render_rays_chunked(
                     continue
                 flat = np.concatenate(v, axis=0)
                 out = np.full(
-                    (total, *flat.shape[1:]),
-                    float(bg.get(k, 1.0 if k == "rgb" else 0.0)),
-                    flat.dtype,
+                    (total, *flat.shape[1:]), bg_val(k), flat.dtype
                 )
-                out[idxp] = flat
+                out[idx] = flat[: idx.size]
                 result[k] = out[:n]
             return result
 

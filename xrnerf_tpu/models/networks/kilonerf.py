@@ -353,8 +353,17 @@ def kilonerf_strip_active(
     test accepts.
     """
     n = rays_o.shape[0]
-    assert n % strip == 0, "ray count must be a multiple of strip"
-    ns = n // strip
+    pad = (-n) % strip
+    if pad:  # pad by duplicating the last ray (shapes are static, so
+        # this costs one trace); the strip containing duplicates is
+        # still conservative for its real members, and the result is
+        # sliced back to n (ADVICE r4: the assert coupled the
+        # renderer's chunk size to the prepass strip size).
+        rays_o = jnp.concatenate([rays_o, jnp.repeat(rays_o[-1:], pad, 0)])
+        rays_d = jnp.concatenate([rays_d, jnp.repeat(rays_d[-1:], pad, 0)])
+        near = jnp.concatenate([near, jnp.repeat(near[-1:], pad, 0)])
+        far = jnp.concatenate([far, jnp.repeat(far[-1:], pad, 0)])
+    ns = (n + pad) // strip
     ro = rays_o.reshape(ns, strip, 3)
     rd = rays_d.reshape(ns, strip, 3)
     t0 = jnp.min(near.reshape(ns, strip), axis=1)  # [ns]
@@ -392,7 +401,7 @@ def kilonerf_strip_active(
     )
     cidx = cell[..., 0] * (o1 * o2) + cell[..., 1] * o2 + cell[..., 2]
     hit = inb & (flat_dist[cidx] <= r[:, None])  # [ns, P]
-    return jnp.repeat(jnp.any(hit, axis=-1), strip)
+    return jnp.repeat(jnp.any(hit, axis=-1), strip)[:n]
 
 
 @NETWORKS.register
