@@ -361,10 +361,11 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
         hidden=32, n_hidden_layers=2,
         n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
         march=march,
-        # worst measured chunk on the real frame has 590k live slots of
-        # 2.1M; 768k live-first slots keep MoE work ~2.7x down at 1.3x
-        # headroom (compacted_coord target_batch_size semantics)
-        eval_budget=(768 * 1024) if real else 0,
+        # config defaults (kilonerf_finetune.py): the round-5 sweep
+        # measured 640k/1.25 at 52.2 dB dense-parity, 670 ms/frame vs
+        # 760 ms for 768k/2.0 at 52.8 dB
+        eval_budget=(640 * 1024) if real else 0,
+        capacity_factor=1.25,
     )
     from xrnerf_tpu.models.networks.kilonerf import prepare_march_aux
 
@@ -475,13 +476,13 @@ def bench_kilonerf_parity(chunk=65536, n_samples=384, n_keep=32, res=16):
         resolution=(res, res, res), domain_min=(0.0, 0.0, 0.0),
         domain_max=(1.0, 1.0, 1.0), hidden=32, n_hidden_layers=2,
         n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
-        eval_budget=768 * 1024,
+        eval_budget=640 * 1024,
     )
     from xrnerf_tpu.models.networks.kilonerf import prepare_march_aux
 
     aux = jax.jit(prepare_march_aux)(occ)
     dense = KiloNerfNetwork(**kw, march="dense")
-    pooled = KiloNerfNetwork(**kw, march="pooled")
+    pooled = KiloNerfNetwork(**kw, march="pooled", capacity_factor=1.25)
     params = dense.init(jax.random.PRNGKey(0), b, rng=None, train=False, aux=aux)[
         "params"
     ]

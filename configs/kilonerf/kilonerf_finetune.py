@@ -33,9 +33,11 @@ model = dict(
     n_march_steps=96,
     n_keep=32,
     # MoE cap (compacted_coord target_batch_size semantics): live-first
-    # samples reaching the dispatch per eval chunk
-    eval_budget=768 * 1024,
-    capacity_factor=2.0,
+    # samples reaching the dispatch per eval chunk. 640k/1.25 measured
+    # 52.2 dB dense-parity on the real lego grid at 670 ms/frame vs
+    # 760 ms for 768k/2.0 at 52.8 dB (round-5 sweep, docs/benchmark.md)
+    eval_budget=640 * 1024,
+    capacity_factor=1.25,
     white_bkgd=True,
     view_dep_reg=1e-6,
     occupancy_path="./work_dirs/kilonerf/#DATANAME#/occupancy.npy",

@@ -134,21 +134,43 @@ class MultiNetworkMLP(nn.Module):
             # gathers would transpose back into scatters in a backward.
             valid = net_idx >= 0
             key = jnp.where(valid, net_idx, self.n_nets)
-            skey, perm = jax.lax.sort(
-                (key.astype(jnp.int32), jnp.arange(bsz, dtype=jnp.int32)),
+            # The raw rows ride through the sort as six extra bitcast-u32
+            # operands: sorting payload lanes costs ~1 ns/row/lane while
+            # gathering the rows afterwards through the perm indirection
+            # (perm_pad[pos] element gather + dependent row gather) ran
+            # ~26 ns/slot — the dispatch's dominant cost
+            # (tools/exp_round5_moe.py: cap-gather 41.5 ms vs the same
+            # row fetch at 8.8 ms when the gather is direct).
+            lanes = tuple(
+                jax.lax.bitcast_convert_type(raw[:, j], jnp.int32)
+                for j in range(6)
+            )
+            ops = jax.lax.sort(
+                (key.astype(jnp.int32), jnp.arange(bsz, dtype=jnp.int32))
+                + lanes,
                 num_keys=1,
             )
+            skey, perm = ops[0], ops[1]
+            raw_sorted = jnp.stack(
+                [
+                    jax.lax.bitcast_convert_type(o, jnp.float32)
+                    for o in ops[2:]
+                ],
+                axis=-1,
+            )  # [B, 6] rows in net-sorted order
             first = jnp.searchsorted(
                 skey, jnp.arange(self.n_nets + 1, dtype=jnp.int32), side="left"
             )  # [n_nets+1]
-            # capacity gather: slot (e, r) <- sorted row first[e]+r
+            # capacity gather: slot (e, r) <- sorted row first[e]+r,
+            # DIRECTLY from the sorted rows (no index indirection)
             pos = first[: self.n_nets, None] + jnp.arange(capacity)[None, :]
             valid_slot = pos < jnp.minimum(
                 first[1:, None], first[: self.n_nets, None] + capacity
             )
-            perm_pad = jnp.concatenate([perm, jnp.full((1,), bsz, jnp.int32)])
-            src = jnp.where(valid_slot, perm_pad[jnp.clip(pos, 0, bsz - 1)], bsz)
-            raw_pad = jnp.concatenate([raw, jnp.zeros((1, 6), raw.dtype)])
+            src = jnp.where(valid_slot, jnp.clip(pos, 0, bsz - 1), bsz)
+            raw_pad = jnp.concatenate(
+                [raw_sorted, jnp.zeros((1, 6), raw.dtype)]
+            )
             grouped_raw = raw_pad[src.reshape(-1)].reshape(
                 self.n_nets, capacity, 6
             )
@@ -159,15 +181,20 @@ class MultiNetworkMLP(nn.Module):
             ]
             kept = (skey < self.n_nets) & (rank < capacity)
             dest = jnp.where(kept, skey * capacity + rank, self.n_nets * capacity)
-            # back to original order without a scatter: sort by perm
+            # back to original order without a scatter: sort by perm.
+            # rgb+sigma ride one 4-wide row so the un-dispatch is a
+            # single wide-row gather (16 B rows at ~2.8 ns/row) instead
+            # of a row gather plus an ~8 ns/row element gather for sigma
+            # (tools/exp_round5_gather2.py).
             _, dest_orig = jax.lax.sort((perm, dest), num_keys=1)
-            flat_rgb = jnp.concatenate(
-                [rgb.reshape(-1, 3), jnp.zeros((1, 3), rgb.dtype)], 0
+            out4 = jnp.concatenate(
+                [rgb.reshape(-1, 3), sigma.reshape(-1, 1).astype(rgb.dtype)], -1
             )
-            flat_sigma = jnp.concatenate(
-                [sigma.reshape(-1), jnp.full((1,), -1e3, sigma.dtype)]
+            flat4 = jnp.concatenate(
+                [out4, jnp.asarray([[0.0, 0.0, 0.0, -1e3]], out4.dtype)], 0
             )
-            return flat_rgb[dest_orig], flat_sigma[dest_orig]
+            o4 = flat4[dest_orig]
+            return o4[:, :3], o4[:, 3].astype(sigma.dtype)
 
         dest, keep, order = moe_dispatch(net_idx, self.n_nets, capacity)
 

@@ -204,6 +204,42 @@ def kilonerf_sphere_march(
     return z_keep, mask, dt
 
 
+def _pack_z_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[ox, oy, oz] bool -> [ox*oy, ceil(oz/32)] uint32, bit z&31 of word
+    z>>5 = bits[x, y, z].
+
+    TPU gathers are ROW-COUNT bound: element gathers from a 2M-entry
+    table run ~8 ns/row while multi-word row gathers from small tables
+    run ~2.8 ns/row AND carry 128+ cells of occupancy per row
+    (tools/exp_round5_gather_width.py). Packing the z-axis into u32
+    words turns every per-sample occupancy test into one narrow row
+    gather + a variable shift — no one-hot lane select needed because
+    the bit position is pure arithmetic in z.
+    """
+    ox, oy, oz = bits.shape
+    wz = (oz + 31) // 32
+    pad = wz * 32 - oz
+    b = bits
+    if pad:
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, pad)))
+    b = b.reshape(ox * oy, wz, 32).astype(jnp.uint32)
+    w = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b * w, axis=-1, dtype=jnp.uint32)
+
+
+def _zrow_bit(rows: jnp.ndarray, cz: jnp.ndarray) -> jnp.ndarray:
+    """rows [..., WZ] uint32 (packed z-columns), cz [...] int32 -> bool
+    bit cz of the column. Word select is a static WZ-way where-chain
+    (WZ = 4 for a 128-deep grid), bit select a variable shift — both
+    plain VPU ops at the march's planar [Q, N] shapes."""
+    wz = rows.shape[-1]
+    w = cz >> 5
+    word = rows[..., 0]
+    for j in range(1, wz):
+        word = jnp.where(w == j, rows[..., j], word)
+    return ((word >> (cz & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
+
+
 def kilonerf_pooled_march(
     rays_o: jnp.ndarray,  # [N, 3]
     rays_d: jnp.ndarray,  # [N, 3] (need NOT be unit-norm)
@@ -259,8 +295,20 @@ def kilonerf_pooled_march(
     min_edge = jnp.min(extent / jnp.asarray([o0, o1, o2], rays_o.dtype))
     if dist is None:
         dist = distance_transform_linf(occ)  # [ox,oy,oz] int32
-    flat_dist = dist.reshape(-1)
-    occ_f = occ.reshape(-1).astype(jnp.float32)  # f32: fast element gather
+    # Packed-bitfield tables (see _pack_z_bits): stage A tests group
+    # centers against dilated occupancy (dist <= r) bitfields — one
+    # [WZ]-word row gather + arithmetic bit extract per probe instead of
+    # an 8 ns/row element gather from the 2M-entry grid; stage B tests
+    # exact occupancy the same way. Bit-identical to the element-gather
+    # formulation for r <= RMAX; rays needing a fatter radius (not seen
+    # at bench shapes: r is 2-3 there) degrade conservatively to
+    # group-live. Packing is ~14M VPU ops per call — noise next to the
+    # 7.3M gathers it accelerates ~3x.
+    RMAX = 6
+    dil_packed = jnp.concatenate(
+        [_pack_z_bits(dist <= rr) for rr in range(1, RMAX + 1)], axis=0
+    )  # [RMAX*ox*oy, WZ]
+    occ_packed = _pack_z_bits(occ)  # [ox*oy, WZ]
 
     # Planar (structure-of-arrays) layout throughout: every bulk tensor
     # is [steps, N] with N minor — a [..., 3]-minor layout stores 3 of
@@ -270,7 +318,7 @@ def kilonerf_pooled_march(
     dx, dy, dz = rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]
     ores = (o0, o1, o2)
 
-    def cells_planar(z):  # z [Q, N] -> (cidx [Q,N] int32, rel per axis)
+    def cells_planar(z):  # z [Q, N] -> (per-axis cells [3][Q,N], rels)
         rels, cids = [], []
         for (oc, dc, dmn, ext, orr) in (
             (ox, dx, domain_min[0], extent[0], o0),
@@ -282,20 +330,25 @@ def kilonerf_pooled_march(
             cids.append(
                 jnp.clip(jnp.floor(rel * orr).astype(jnp.int32), 0, orr - 1)
             )
-        cidx = cids[0] * (o1 * o2) + cids[1] * o2 + cids[2]
-        return cidx, rels
+        return cids, rels
 
-    # ---- stage A: group centers vs distance transform ----
+    # ---- stage A: group centers vs dilated-occupancy bitfields ----
     gc = jnp.arange(SG, dtype=rays_o.dtype) * G + (G - 1) / 2.0  # [SG]
     zc = near1[None, :] + gc[:, None] * dt1[None, :]  # [SG, N]
-    cidxc, relsc = cells_planar(zc)
+    cidsc, relsc = cells_planar(zc)
     half_w = (G - 1) / 2.0 * dt1 * dnorm  # [N] world half-extent of a group
     r = jnp.floor(half_w / min_edge).astype(jnp.int32) + 1  # [N]
     inb_c = jnp.ones_like(zc, dtype=bool)
     for i, rel in enumerate(relsc):
         m = (half_w / extent[i])[None, :]
         inb_c &= (rel >= -m) & (rel < 1 + m)
-    liveA = inb_c & (flat_dist[cidxc] <= r[None, :])  # [SG, N]
+    rowA = (
+        (jnp.clip(r, 1, RMAX) - 1)[None, :] * (o0 * o1)
+        + cidsc[0] * o1
+        + cidsc[1]
+    )  # [SG, N]
+    bitA = _zrow_bit(dil_packed[rowA], cidsc[2])  # dist[cell] <= min(r,RMAX)
+    liveA = inb_c & (bitA | (r > RMAX)[None, :])  # [SG, N]
     gidx, gmask = keep_first_k(liveA.T, Kg)  # [N, Kg]
 
     # ---- stage B: expand kept groups, exact per-sample test ----
@@ -304,19 +357,19 @@ def kilonerf_pooled_march(
     )  # [N, Kg*G] candidate indices (ascending: groups kept in order)
     s_t = s_idx.T  # [Kg*G, N]
     zB = near1[None, :] + s_t.astype(rays_o.dtype) * dt1[None, :]  # [KgG, N]
-    cidxB, relsB = cells_planar(zB)
+    cidsB, relsB = cells_planar(zB)
     inb = jnp.ones_like(zB, dtype=bool)
     for rel in relsB:
         inb &= (rel >= 0) & (rel < 1)
+    bitB = _zrow_bit(occ_packed[cidsB[0] * o1 + cidsB[1]], cidsB[2])
     liveB = (
-        (occ_f[cidxB] > 0.5)
+        bitB
         & inb
         & jnp.repeat(gmask, G, axis=-1).T
         & (s_t < S)
     )  # [KgG, N]
-    kidx, mask = keep_first_k(liveB.T, n_keep)  # [N, K]
-    z_keep = jnp.take_along_axis(zB.T, kidx, axis=-1)
-    z_keep = jnp.where(mask, z_keep, far)
+    _, mask, z_keep = keep_first_k(liveB.T, n_keep, vals=zB.T)  # [N, K]
+    z_keep = jnp.where(mask, z_keep.astype(rays_o.dtype), far)
     return z_keep, mask, dt
 
 
@@ -530,6 +583,21 @@ class KiloNerfNetwork(BaseNetwork):
         net_idx = jnp.where(mask.reshape(-1), net_idx, -1)
         dirs_flat = jnp.repeat(viewdirs, k, axis=0)
         M = self.eval_budget
+        # (local, dirs, net_idx) fused into one 8-wide f32 row so the
+        # budget compaction below is a single wide-row gather: element
+        # gathers cost ~8 ns/row on TPU while 32 B row gathers cost
+        # ~2.8 ns (tools/exp_round5_gather2.py); three separate takes of
+        # [M] rows were ~13 ms/chunk. net_idx rides as f32 (< 2^12,
+        # exact); lane 7 pads the row to a power of two.
+        row8 = jnp.concatenate(
+            [
+                local,
+                dirs_flat,
+                net_idx.astype(jnp.float32)[:, None],
+                jnp.zeros((n * k, 1), jnp.float32),
+            ],
+            axis=-1,
+        )
         if 0 < M < n * k:
             # live-sample compaction before the MoE (same capped-budget
             # semantics as the NGP sample_budget / the reference's
@@ -559,24 +627,27 @@ class KiloNerfNetwork(BaseNetwork):
             j_in = jnp.arange(M, dtype=jnp.int32) - offset[ray_id]
             valid = (j_in >= 0) & (j_in < c[ray_id])  # False past total live
             sel = jnp.where(valid, ray_id * k + jnp.maximum(j_in, 0), 0)
+            sel8 = jnp.take(row8, sel, axis=0)  # [M, 8] one wide-row gather
             rgb_c, sigma_c = self.mlp(
-                jnp.take(local, sel, axis=0),
-                jnp.take(dirs_flat, sel, axis=0),
-                jnp.where(valid, jnp.take(net_idx, sel, axis=0), -1),
+                sel8[:, :3],
+                sel8[:, 3:6],
+                jnp.where(valid, sel8[:, 6].astype(jnp.int32), -1),
                 gather_dispatch=True,
             )
             # un-compact without a sort: slot (i, j) sits at offset[i]+j;
             # rays past the budget truncate from the far end (overflow
-            # renders empty, as before).
+            # renders empty, as before). rgb+sigma ride one 4-wide row so
+            # the [n*k]-row un-compact is a single wide gather (the
+            # separate sigma take was an 8 ns/row element gather).
             pos = offset[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
             ok = (mask & (pos < M)).reshape(-1)
             posc = jnp.clip(pos, 0, M - 1).reshape(-1)
-            raw_rgb = jnp.where(
-                ok[:, None], jnp.take(rgb_c, posc, axis=0), 0
-            ).astype(rgb_c.dtype)
-            raw_sigma = jnp.where(
-                ok, jnp.take(sigma_c, posc, axis=0), -1e3
-            ).astype(sigma_c.dtype)
+            out4_c = jnp.concatenate(
+                [rgb_c, sigma_c[:, None].astype(rgb_c.dtype)], axis=-1
+            )  # [M, 4]
+            o4 = jnp.take(out4_c, posc, axis=0)  # [n*k, 4]
+            raw_rgb = jnp.where(ok[:, None], o4[:, :3], 0).astype(rgb_c.dtype)
+            raw_sigma = jnp.where(ok, o4[:, 3], -1e3).astype(sigma_c.dtype)
         else:
             raw_rgb, raw_sigma = self.mlp(
                 local, dirs_flat, net_idx, gather_dispatch=True

@@ -18,12 +18,20 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
-def keep_first_k(live: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """live [N, S] bool -> (idx [N, k] int32, mask [N, k] bool).
+def keep_first_k(
+    live: jnp.ndarray, k: int, vals: jnp.ndarray | None = None
+) -> Tuple[jnp.ndarray, ...]:
+    """live [N, S] bool -> (idx [N, k] int32, mask [N, k] bool[, vk]).
 
     idx[n, j] = position of the (j+1)-th True in live[n] (0 where absent,
     masked by mask). Positions are in ascending order (stable). Exact for
     S < 2^24 (f32 contraction).
+
+    ``vals`` [N, S] float: also return ``vk`` [N, k] = vals at the kept
+    positions, contracted through the SAME one-hot — each output is
+    exactly one addend, so the value is exact, and it replaces a
+    ``take_along_axis`` whose element gather costs ~8 ns/row at
+    march shapes (2.1M rows/chunk) vs ~0 for one more fused einsum.
     """
     n, s = live.shape
     rank = jnp.cumsum(live.astype(jnp.int32), axis=-1)  # [N, S] inclusive
@@ -37,4 +45,7 @@ def keep_first_k(live: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pos = jnp.arange(s, dtype=jnp.float32)
     idx = jnp.einsum("nks,s->nk", oh, pos).astype(jnp.int32)
     mask = j1[None, :] <= rank[:, -1:]
-    return idx, mask
+    if vals is None:
+        return idx, mask
+    vk = jnp.einsum("nks,ns->nk", oh, vals.astype(jnp.float32))
+    return idx, mask, vk
