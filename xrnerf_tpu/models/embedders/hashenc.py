@@ -92,16 +92,19 @@ def _vertex_cells(x: jnp.ndarray, cfg) -> tuple:
 def _vertex_gather(table: jnp.ndarray, idx: jnp.ndarray, cfg) -> jnp.ndarray:
     """table [L,T,F], idx [L,N,8] -> corner feats [L,N,8,F].
 
-    One flat row gather on a 2D [L*T, F] view: the level-batched
-    take_along_axis formulation costs ~10 ns/row on v5e where the flat
-    axis-0 take runs at ~2 ns/row (tools/exp_round4_vertex_profile.py
-    fwd 335 ms -> ~70 ms at the 33.5M-row step shape)."""
+    Per-level takes from the [T, F] slices: gather cost rises with the
+    gathered table's size, and a 4 MB per-level table beats the 67 MB
+    flat [L*T, F] view by ~26% (85.3 vs 114.8 ms at the 16.8M-row step
+    shape, tools/exp_round5_vertex.py; the round-4 flat-view result held
+    only against level-batched take_along_axis, which is worse than
+    either). Unrolled python loop — XLA fuses the L takes into one
+    program; batched/stacked formulations all measured slower."""
     _, T, F = cfg
     L, n, _ = idx.shape
-    flat = table.reshape(L * T, F)
-    offs = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
-    fidx = (idx.reshape(L, n * 8) + offs).reshape(-1)
-    return jnp.take(flat, fidx, axis=0).reshape(L, n, 8, F)
+    outs = [
+        jnp.take(table[l], idx[l].reshape(-1), axis=0) for l in range(L)
+    ]
+    return jnp.stack(outs).reshape(L, n, 8, F)
 
 
 def _vertex_impl(table, x, cfg):
@@ -121,9 +124,91 @@ def _vertex_lookup(table, x, cfg):
 
 
 def _vertex_fwd(table, x, cfg):
-    # Residuals are (table, x): corner indices and the gather are
-    # rematerialized in the backward instead of saving [L,N,8,F] rows.
-    return _vertex_impl(table, x, cfg), (table, x)
+    # Residuals save the corner indices, fractions AND gathered rows:
+    # at the step shape they total ~300 MB of HBM, read back at
+    # bandwidth (<1 ms), whereas rematerializing them in the backward
+    # repeats the 16.8M-row gather (~85 ms) plus the cell/hash chain
+    # (~11 ms) — round 4 had this trade backwards
+    # (tools/exp_round5_vertex.py rates).
+    idx, t = _vertex_cells(x, cfg)
+    feats = _vertex_gather(table, idx, cfg)
+    w8 = _corner_weights(t)
+    out = jnp.sum(feats * w8[..., None], axis=2)  # [L, N, F]
+    n = x.shape[0]
+    L = idx.shape[0]
+    F = cfg[2]
+    return jnp.moveaxis(out, 0, 1).reshape(n, L * F), (idx, t, feats)
+
+
+def _splat_dense_level(i0, i7, tl, gl, res, F, chunk=32768):
+    """Separable trilinear splat: dense [res^3, F] table gradient via two
+    chained MXU matmuls — no sort, no scatter.
+
+    For a DENSE level the 8-corner accumulation factorizes per axis:
+      out[i,j,k,f] = sum_n Ax[n,i] * Ay[n,j] * Az[n,k] * g[n,f]
+    with Ax[n,i] = (i==cx0)(1-tx) + (i==cx1)tx (2 nonzeros; collapsing
+    corners at the clip boundary sum to 1 additively, matching the
+    gather semantics). Contract as ([res^2, N] @ [N, res*F]) with
+    WXY[n,(i,j)] = Ax*Ay and B[n,(k,f)] = Az*g — ~160 GFLOP f32 for
+    res=67 vs ~12 ms of sort/merge/cumsum per level in the sorted-
+    segment path (tools/exp_round5_vertex3.py pieces). Chunked over n to
+    bound the [chunk, res^2] temporary. The hash levels keep the
+    sorted-segment reduction (no separable structure to exploit).
+
+    i0/i7: corner-(0,0,0)/(1,1,1) flat indices [N] (decode the clipped
+    per-axis coords); tl: fractions [N, 3]; gl: [N, F] f32.
+    """
+    n = i0.shape[0]
+    r = res
+    cx0, cy0, cz0 = i0 % r, (i0 // r) % r, i0 // (r * r)
+    cx7, cy7, cz7 = i7 % r, (i7 // r) % r, i7 // (r * r)
+    pad = (-n) % chunk
+    if pad:
+        z = jnp.zeros((pad,), i0.dtype)
+        cx0, cy0, cz0 = (
+            jnp.concatenate([a, z]) for a in (cx0, cy0, cz0)
+        )
+        cx7, cy7, cz7 = (
+            jnp.concatenate([a, z]) for a in (cx7, cy7, cz7)
+        )
+        tl = jnp.concatenate([tl, jnp.zeros((pad, 3), tl.dtype)])
+        gl = jnp.concatenate([gl, jnp.zeros((pad, F), gl.dtype)])
+    nc = (n + pad) // chunk
+    ar = jnp.arange(r, dtype=jnp.int32)
+
+    def axis_mat(c0, c1, t):  # [C], [C], [C] -> [C, r]
+        oh0 = (ar[None, :] == c0[:, None]).astype(jnp.float32)
+        oh1 = (ar[None, :] == c1[:, None]).astype(jnp.float32)
+        return oh0 * (1.0 - t)[:, None] + oh1 * t[:, None]
+
+    def body(acc, args):
+        cx0c, cy0c, cz0c, cx7c, cy7c, cz7c, tc, gc = args
+        ax = axis_mat(cx0c, cx7c, tc[:, 0].astype(jnp.float32))
+        ay = axis_mat(cy0c, cy7c, tc[:, 1].astype(jnp.float32))
+        az = axis_mat(cz0c, cz7c, tc[:, 2].astype(jnp.float32))
+        wxy = (ax[:, :, None] * ay[:, None, :]).reshape(chunk, r * r)
+        b = (az[:, :, None] * gc[:, None, :]).reshape(chunk, r * F)
+        acc = acc + jax.lax.dot_general(
+            wxy, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # default matmul precision is bf16-class on TPU (~1e-3 rel);
+            # the table gradient matches the sorted-segment path to f32
+            # only at HIGHEST (measured 1.2e-3 -> 1.8e-7 rel)
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [r*r, r*F]
+        return acc, None
+
+    args = tuple(
+        a.reshape(nc, chunk, *a.shape[1:])
+        for a in (cx0, cy0, cz0, cx7, cy7, cz7, tl, gl)
+    )
+    acc, _ = jax.lax.scan(body, jnp.zeros((r * r, r * F), jnp.float32), args)
+    # [r*r, r*F] -> [r^3, F] in cx + r*(cy + r*cz) flat order: acc is
+    # [(cx,cy), (cz,f)] — transpose to (cz, cy, cx) major ordering used
+    # by the dense corner index (x fastest)
+    return (
+        acc.reshape(r, r, r, F).transpose(2, 1, 0, 3).reshape(r * r * r, F)
+    )
 
 
 def _vertex_bwd(cfg, residuals, g):
@@ -143,32 +228,43 @@ def _vertex_bwd(cfg, residuals, g):
     from ...ops.pallas.scatter_rows import scatter_add_rows
 
     res, T, F = cfg
-    table, x = residuals
+    idx, t, feats = residuals
     L = len(res)
-    n = x.shape[0]
+    n = t.shape[1]
 
-    idx, t = _vertex_cells(x, cfg)
     w8 = _corner_weights(t)  # [L, N, 8]
     g3 = jnp.moveaxis(g.reshape(n, L, F).astype(jnp.float32), 0, 1)  # [L,N,F]
     grad_rows = w8[..., None] * g3[:, :, None, :]  # [L, N, 8, F]
 
     # per level (dense coarse levels only occupy res^3 < T rows: reduce
-    # over that prefix and zero-pad the rest)
+    # over that prefix and zero-pad the rest). Dense levels use the
+    # separable-splat matmul (no sort/scatter — _splat_dense_level);
+    # hashed levels and the sharded multichip path keep the
+    # sorted-segment reduction.
+    from ...ops.pallas import scatter_rows as _sr
+
+    sharded = _sr._SCATTER_MESH is not None
     idx2 = idx.reshape(L, n * 8)
     gr = grad_rows.reshape(L, n * 8, F)
     grads = []
     for l in range(L):
         V = min(int(res[l]) ** 3, T)
-        gl = scatter_add_rows(idx2[l], gr[l], V)
+        if V < T and not sharded:
+            gl = _splat_dense_level(
+                idx[l, :, 0], idx[l, :, 7], t[l], g3[l], int(res[l]), F
+            )
+        else:
+            gl = scatter_add_rows(idx2[l], gr[l], V)
         if V < T:
             gl = jnp.concatenate([gl, jnp.zeros((T - V, F), gl.dtype)])
         grads.append(gl)
-    grad_table = jnp.stack(grads).astype(table.dtype)
+    grad_table = jnp.stack(grads).astype(feats.dtype)
 
     # --- position gradient: d(out)/dx through the trilerp weights ---
-    feats = _vertex_gather(table, idx, cfg)  # remat
+    # feats come from the residuals (saved in the forward; re-gathering
+    # them here cost ~85 ms/step)
     gdot = jnp.sum(feats * g3[:, :, None, :], axis=-1)  # [L, N, 8]
-    c = jnp.asarray(_CORNERS, x.dtype)  # [8, 3]
+    c = jnp.asarray(_CORNERS, t.dtype)  # [8, 3]
     sign = jnp.where(c == 1.0, 1.0, -1.0)[None, None]  # [1,1,8,3]
     wd = jnp.where(
         c[None, None, :, :] == 1.0, t[:, :, None, :], 1.0 - t[:, :, None, :]
@@ -182,8 +278,8 @@ def _vertex_bwd(cfg, residuals, g):
         axis=-1,
     )  # [L,N,8,3]
     dw = jnp.sum(gdot[..., None] * sign * prod_others, axis=2)  # [L,N,3]
-    res_f = jnp.asarray(np.asarray(res, np.float64) - 1.0, x.dtype)[:, None, None]
-    grad_x = jnp.sum(dw * res_f, axis=0).astype(x.dtype)  # [N,3]
+    res_f = jnp.asarray(np.asarray(res, np.float64) - 1.0, t.dtype)[:, None, None]
+    grad_x = jnp.sum(dw * res_f, axis=0).astype(t.dtype)  # [N,3]
     return grad_table, grad_x
 
 
