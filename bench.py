@@ -289,6 +289,7 @@ def bench_mipnerf():
 
 
 _KILO_INPUT_CACHE = {}
+_TTP_FINAL_GRID = {}
 
 
 def _lego_kilonerf_inputs(chunk=65536):
@@ -330,7 +331,7 @@ def _lego_kilonerf_inputs(chunk=65536):
 
 
 def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
-                         march="dense", cull=False):
+                         march="dense", cull=False, grid="warm"):
     import jax
     import jax.numpy as jnp
 
@@ -339,6 +340,13 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
     real = os.path.isdir(LEGO)
     if real:
         occ_np, chunks, n_rays = _lego_kilonerf_inputs(chunk)
+        if grid == "converged":
+            # trained-to-PSNR-25 grid captured by the ttp25 row: same
+            # shapes as the warm grid, so the compiled frame programs
+            # are reused — grid content is data, not shape
+            if "occ" not in _TTP_FINAL_GRID:
+                raise RuntimeError("converged grid unavailable (ttp row skipped)")
+            occ_np = _TTP_FINAL_GRID["occ"]
         occ = jnp.asarray(occ_np)
         dmin, dmax = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
         batch0 = chunks[0]
@@ -637,6 +645,11 @@ def bench_lego_time_to_psnr(target_psnr=25.0, max_steps=3000, batch=8192):
     dt = time.perf_counter() - t0
     if float(psnr) < target_psnr:
         raise RuntimeError(f"psnr {float(psnr):.2f} < {target_psnr} after {max_steps}")
+    # keep the trained-to-PSNR-25 occupancy for the converged-grid
+    # KiloNeRF cull A/B (VERDICT r4 item 6): the 192-iter warm grid is
+    # too fragmented for ray culling to pay (6,602 components); this one
+    # is the real consolidated article, captured for free.
+    _TTP_FINAL_GRID["occ"] = np.asarray(aux.bitfield[0]).reshape(128, 128, 128)
     return dt
 
 
@@ -708,13 +721,27 @@ def main():
     guarded(
         "kilonerf_pooled_frame_ms",
         lambda: bench_kilonerf_frame(march="pooled"), "ms",
-        vs=lambda v: KILONERF_REF_MS / v, est_s=150.0,
+        vs=lambda v: KILONERF_REF_MS / v, est_s=120.0,
     )
     guarded("kilonerf_pooled_parity_db", bench_kilonerf_parity, "dB", est_s=80.0)
+    # converged-grid A/B (same compiled programs, new grid data): the
+    # payoff case for frame-level ray culling — the warm grid's 6,602
+    # fragments defeat it (recorded negative, round 4), a trained-to-25dB
+    # grid is the deployment case
+    guarded(
+        "kilonerf_pooled_conv_frame_ms",
+        lambda: bench_kilonerf_frame(march="pooled", grid="converged"), "ms",
+        vs=lambda v: KILONERF_REF_MS / v, est_s=30.0,
+    )
+    guarded(
+        "kilonerf_cull_conv_frame_ms",
+        lambda: bench_kilonerf_frame(march="pooled", cull=True, grid="converged"),
+        "ms", vs=lambda v: KILONERF_REF_MS / v, est_s=60.0,
+    )
     guarded(
         "kilonerf_cull_frame_ms",
         lambda: bench_kilonerf_frame(march="pooled", cull=True), "ms",
-        vs=lambda v: KILONERF_REF_MS / v, est_s=60.0,
+        vs=lambda v: KILONERF_REF_MS / v, est_s=45.0,
     )
     guarded("mipnerf_rays_s", bench_mipnerf, "rays/s", est_s=100.0)
     guarded("gnr_rays_s", bench_gnr, "rays/s", est_s=150.0)
