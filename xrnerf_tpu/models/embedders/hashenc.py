@@ -95,7 +95,7 @@ def _vertex_gather(table: jnp.ndarray, idx: jnp.ndarray, cfg) -> jnp.ndarray:
     Per-level takes from the [T, F] slices: gather cost rises with the
     gathered table's size, and a 4 MB per-level table beats the 67 MB
     flat [L*T, F] view by ~26% (85.3 vs 114.8 ms at the 16.8M-row step
-    shape, tools/exp_round5_vertex.py; the round-4 flat-view result held
+    shape, tools/exp/exp_round5_vertex.py; the round-4 flat-view result held
     only against level-batched take_along_axis, which is worse than
     either). Unrolled python loop — XLA fuses the L takes into one
     program; batched/stacked formulations all measured slower."""
@@ -129,7 +129,7 @@ def _vertex_fwd(table, x, cfg):
     # bandwidth (<1 ms), whereas rematerializing them in the backward
     # repeats the 16.8M-row gather (~85 ms) plus the cell/hash chain
     # (~11 ms) — round 4 had this trade backwards
-    # (tools/exp_round5_vertex.py rates).
+    # (tools/exp/exp_round5_vertex.py rates).
     idx, t = _vertex_cells(x, cfg)
     feats = _vertex_gather(table, idx, cfg)
     w8 = _corner_weights(t)
@@ -151,7 +151,7 @@ def _splat_dense_level(i0, i7, tl, gl, res, F, chunk=32768):
     gather semantics). Contract as ([res^2, N] @ [N, res*F]) with
     WXY[n,(i,j)] = Ax*Ay and B[n,(k,f)] = Az*g — ~160 GFLOP f32 for
     res=67 vs ~12 ms of sort/merge/cumsum per level in the sorted-
-    segment path (tools/exp_round5_vertex3.py pieces). Chunked over n to
+    segment path (tools/exp/exp_round5_vertex3.py pieces). Chunked over n to
     bound the [chunk, res^2] temporary. The hash levels keep the
     sorted-segment reduction (no separable structure to exploit).
 
@@ -217,7 +217,7 @@ def _vertex_bwd(cfg, residuals, g):
     The transpose of the 8-corner gather is 33.5M width-F update rows
     per Instant-NGP step. TPU scatter-add is row-count bound at
     ~42 ns/row while sorts/gathers/cumsums run at ~2-3 ns/row
-    (tools/exp_round4_scatter.py), so the rows are sorted by destination
+    (tools/exp/exp_round4_scatter.py), so the rows are sorted by destination
     and the dense [T, F] gradient is read off as boundary differences of
     one prefix sum (ops/sorted_segment.py) — no scatter in the entire
     backward. This replaces tcnn's atomicAdd semantics (only the f32

@@ -130,7 +130,7 @@ class MultiNetworkMLP(nn.Module):
             # sizes (2-25M dispatch rows/frame) the scatter-based path
             # below spends seconds per frame moving rows; two int32
             # sorts + capacity gathers do the same movement at ~6 ns/row
-            # (tools/exp_round3_kilo.py). Grad-free by design: the
+            # (tools/exp/exp_round3_kilo.py). Grad-free by design: the
             # gathers would transpose back into scatters in a backward.
             valid = net_idx >= 0
             key = jnp.where(valid, net_idx, self.n_nets)
@@ -139,7 +139,7 @@ class MultiNetworkMLP(nn.Module):
             # gathering the rows afterwards through the perm indirection
             # (perm_pad[pos] element gather + dependent row gather) ran
             # ~26 ns/slot — the dispatch's dominant cost
-            # (tools/exp_round5_moe.py: cap-gather 41.5 ms vs the same
+            # (tools/exp/exp_round5_moe.py: cap-gather 41.5 ms vs the same
             # row fetch at 8.8 ms when the gather is direct).
             lanes = tuple(
                 jax.lax.bitcast_convert_type(raw[:, j], jnp.int32)
@@ -185,7 +185,7 @@ class MultiNetworkMLP(nn.Module):
             # rgb+sigma ride one 4-wide row so the un-dispatch is a
             # single wide-row gather (16 B rows at ~2.8 ns/row) instead
             # of a row gather plus an ~8 ns/row element gather for sigma
-            # (tools/exp_round5_gather2.py).
+            # (tools/exp/exp_round5_gather2.py).
             _, dest_orig = jax.lax.sort((perm, dest), num_keys=1)
             out4 = jnp.concatenate(
                 [rgb.reshape(-1, 3), sigma.reshape(-1, 1).astype(rgb.dtype)], -1

@@ -211,7 +211,7 @@ def _pack_z_bits(bits: jnp.ndarray) -> jnp.ndarray:
     TPU gathers are ROW-COUNT bound: element gathers from a 2M-entry
     table run ~8 ns/row while multi-word row gathers from small tables
     run ~2.8 ns/row AND carry 128+ cells of occupancy per row
-    (tools/exp_round5_gather_width.py). Packing the z-axis into u32
+    (tools/exp/exp_round5_gather_width.py). Packing the z-axis into u32
     words turns every per-sample occupancy test into one narrow row
     gather + a variable shift — no one-hot lane select needed because
     the bit position is pure arithmetic in z.
@@ -258,7 +258,7 @@ def kilonerf_pooled_march(
 
     The scan-based sphere march pays ~34 ns per occupancy lookup (96
     sequential 65k-element gathers per chunk); flat batched gathers run
-    at ~2 ns/row on v5e (tools/exp_round4_scatter.py micro rates). This
+    at ~2 ns/row on v5e (tools/exp/exp_round4_scatter.py micro rates). This
     march restructures ESS into two fully-batched passes over the SAME
     z-lattice as the dense march:
 
@@ -586,7 +586,7 @@ class KiloNerfNetwork(BaseNetwork):
         # (local, dirs, net_idx) fused into one 8-wide f32 row so the
         # budget compaction below is a single wide-row gather: element
         # gathers cost ~8 ns/row on TPU while 32 B row gathers cost
-        # ~2.8 ns (tools/exp_round5_gather2.py); three separate takes of
+        # ~2.8 ns (tools/exp/exp_round5_gather2.py); three separate takes of
         # [M] rows were ~13 ms/chunk. net_idx rides as f32 (< 2^12,
         # exact); lane 7 pads the row to a power of two.
         row8 = jnp.concatenate(

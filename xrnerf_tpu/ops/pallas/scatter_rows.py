@@ -10,7 +10,7 @@ tiny-cuda-nn's backward uses on GPU (reference call site:
 
 DEFAULT PATH: XLA scatter-add. The VMEM-resident Pallas kernel in this
 module keeps the accumulator table on-chip and RMWs rows in a serial
-scalar loop; honest re-measurement (round 3, tools/exp_round3_vertex4.py
+scalar loop; honest re-measurement (round 3, tools/exp/exp_round3_vertex4.py
 methodology) puts it at ~95-130 ns/row at the NGP shapes — SLOWER than
 XLA's scatter, because the loop is scalar-issue-bound, not
 HBM-latency-bound (K-way accumulator unrolling does not help). Earlier
@@ -129,7 +129,7 @@ def _pallas_scatter_add_rows(
 
 # Below this many update rows, one XLA scatter beats the sorted-segment
 # pipeline's fixed costs (3 sorts + cumsum); above it, the scatter-free
-# path's ~7 ns/row wins over scatter's ~42 (tools/exp_round4_scatter.py).
+# path's ~7 ns/row wins over scatter's ~42 (tools/exp/exp_round4_scatter.py).
 _SORTED_SEGMENT_MIN_ROWS = 1 << 16
 
 

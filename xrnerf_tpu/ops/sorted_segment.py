@@ -2,7 +2,7 @@
 
 TPU scatter-add is row-count bound at ~42 ns/row while sorts, gathers
 and cumsums all run at ~2-3 ns/row (measured, chained-scalar timing:
-``tools/exp_round4_scatter.py``). The transpose of a table gather —
+``tools/exp/exp_round4_scatter.py``). The transpose of a table gather —
 ``out[idx[i]] += vals[i]`` over a dense [V, F] table — therefore should
 not be a scatter at all:
 
