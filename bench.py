@@ -369,11 +369,13 @@ def bench_kilonerf_frame(hw=800, chunk=65536, n_samples=384, n_keep=32, res=16,
         hidden=32, n_hidden_layers=2,
         n_samples=n_samples, n_keep=n_keep, dtype=jnp.bfloat16,
         march=march,
-        # config defaults (kilonerf_finetune.py): the round-5 sweep
-        # measured 640k/1.25 at 52.2 dB dense-parity, 670 ms/frame vs
-        # 760 ms for 768k/2.0 at 52.8 dB
+        # config defaults (kilonerf_finetune.py): the round-5 sweeps
+        # measured 640k/1.25 at 52.2 dB dense-parity (vs 760 ms for
+        # 768k/2.0 at 52.8) and G=16/Kg=4 at 624 ms / 53.2 dB (half the
+        # stage-A probes of 8/8 at the same stage-B rows)
         eval_budget=(640 * 1024) if real else 0,
         capacity_factor=1.25,
+        march_group=16, march_groups_keep=4,
     )
     from xrnerf_tpu.models.networks.kilonerf import prepare_march_aux
 
@@ -501,7 +503,8 @@ def bench_kilonerf_parity(chunk=65536, n_samples=384, n_keep=32, res=16):
 
     aux = jax.jit(prepare_march_aux)(occ)
     dense = KiloNerfNetwork(**kw, march="dense")
-    pooled = KiloNerfNetwork(**kw, march="pooled", capacity_factor=1.25)
+    pooled = KiloNerfNetwork(**kw, march="pooled", capacity_factor=1.25,
+                             march_group=16, march_groups_keep=4)
     params = dense.init(jax.random.PRNGKey(0), b, rng=None, train=False, aux=aux)[
         "params"
     ]

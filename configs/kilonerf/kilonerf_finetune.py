@@ -28,8 +28,11 @@ model = dict(
     # Alternatives: march='sphere' (scan ESS, n_march_steps budget),
     # march='dense' (test every candidate).
     march="pooled",
-    march_group=8,
-    march_groups_keep=8,
+    # round-5 sweep on the real lego frame: G=16/Kg=4 halves the
+    # stage-A probe count at the same stage-B row count — 624 ms/frame
+    # at 53.2 dB dense-parity vs 666 ms / 53.4 dB for 8/8
+    march_group=16,
+    march_groups_keep=4,
     n_march_steps=96,
     n_keep=32,
     # MoE cap (compacted_coord target_batch_size semantics): live-first
